@@ -1,0 +1,155 @@
+"""Port PyTorch reference checkpoints into this framework's variable trees.
+
+Consumes a reference-format state_dict (e.g. the released
+`kepeng/pgtformer-base` HF checkpoint, or a BasicSR `net_g_*.pth` under key
+`params_ema` — reference inference_cn.py:118-129) and fills our flax
+variables: `params`, `batch_stats` (BiSeNet BN running stats), and
+`codebook` (EMA codebooks).
+
+Layout transforms:
+  * conv weight  (O, I, kH, kW)  ->  kernel (kH, kW, I, O)
+  * linear weight (O, I)         ->  kernel (I, O)
+  * norm weight                  ->  scale
+  * BN running_mean/var          ->  batch_stats mean/var
+  * MultiheadAttention in_proj_weight (3C, C) -> in_proj_kernel (C, 3C)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import traverse_util
+from flax.core import freeze, unfreeze
+
+
+_MODULE_RENAMES = [
+    (re.compile(r"^down_(\d+)_block_(\d+)$"), r"down.\1.block.\2"),
+    (re.compile(r"^down_(\d+)_attn_(\d+)$"), r"down.\1.attn.\2"),
+    (re.compile(r"^down_(\d+)_downsample$"), r"down.\1.downsample"),
+    (re.compile(r"^up_(\d+)_block_(\d+)$"), r"up.\1.block.\2"),
+    (re.compile(r"^up_(\d+)_attn_(\d+)$"), r"up.\1.attn.\2"),
+    (re.compile(r"^up_(\d+)_upsample$"), r"up.\1.upsample"),
+    (re.compile(r"^mid_block_(\d+)$"), r"mid.block_\1"),
+    (re.compile(r"^mid_attn_(\d+)$"), r"mid.attn_\1"),
+    (re.compile(r"^blocks_(\d+)$"), r"blocks.\1"),
+    (re.compile(r"^ft_layers_(\d+)$"), r"ft_layers.\1"),
+    (re.compile(r"^fuse_convs_(\d+)$"), r"fuse_convs_dict.\1"),
+    (re.compile(r"^layer(\d+)_(\d+)$"), r"layer\1.\2"),
+    (re.compile(r"^downsample_conv$"), r"downsample.0"),
+    (re.compile(r"^downsample_bn$"), r"downsample.1"),
+    (re.compile(r"^(scale|shift)_(\d+)$"), r"\1.\2"),
+    (re.compile(r"^idx_pred_norm$"), r"idx_pred_layer.0"),
+    (re.compile(r"^idx_pred_head$"), r"idx_pred_layer.1"),
+]
+
+_LEAF_RENAMES = {
+    "kernel": "weight",
+    "scale": "weight",
+    "bias": "bias",
+    "in_proj_kernel": "in_proj_weight",
+    "in_proj_bias": "in_proj_bias",
+    "relative_position_bias_table": "relative_position_bias_table",
+    "mean": "running_mean",
+    "var": "running_var",
+}
+
+
+def _map_module_name(name: str, context: Tuple[str, ...]) -> str:
+    # our SWTransformerBlock names its self-attention `attn1`; the reference
+    # encoder block attribute is `attn` (rstt_layers.py:271) while the cross
+    # block keeps attn1/attn2 (:376-387)
+    if name == "attn1" and "cross" not in context:
+        return "attn"
+    # the Fuse-SFT ResBlock names its 1x1 shortcut `conv_out`
+    # (reference pgtformer_arch.py:419) vs. TDResnetBlock's `nin_shortcut`
+    if name == "nin_shortcut" and "encode_enc" in context:
+        return "conv_out"
+    for pat, repl in _MODULE_RENAMES:
+        if pat.match(name):
+            return pat.sub(repl, name)
+    return name
+
+
+def flax_path_to_torch_key(col: str, path: Tuple[str, ...]) -> str:
+    """Translate a flax variable path into the reference state_dict key."""
+    *mods, leaf = path
+    if col == "codebook":
+        # quantizer variables are flat: codebooks_{i}_{weight|cluster_size_ema|embed_ema}
+        m = re.match(r"^codebooks_(\d+)_(weight|cluster_size_ema|embed_ema)$", leaf)
+        if not m:
+            raise KeyError(f"unrecognized codebook leaf {leaf!r}")
+        torch_mods = [_map_module_name(p, tuple(mods)) for p in mods]
+        return ".".join(torch_mods + [f"codebooks.{m.group(1)}", m.group(2)])
+    torch_mods = [_map_module_name(p, tuple(mods)) for p in mods]
+    torch_leaf = _LEAF_RENAMES.get(leaf, leaf)
+    return ".".join(torch_mods + [torch_leaf])
+
+
+def _to_flax_leaf(leaf_name: str, value: np.ndarray,
+                  target_shape: Tuple[int, ...]) -> np.ndarray:
+    v = np.asarray(value)
+    if leaf_name == "kernel":
+        if v.ndim == 4:                      # conv OIHW -> HWIO
+            v = v.transpose(2, 3, 1, 0)
+        elif v.ndim == 2:                    # linear (O,I) -> (I,O)
+            v = v.T
+    elif leaf_name == "in_proj_kernel":
+        v = v.T                              # (3C, C) -> (C, 3C)
+    if v.shape != tuple(target_shape):
+        raise ValueError(
+            f"shape mismatch for {leaf_name}: torch {v.shape} vs flax {tuple(target_shape)}")
+    return v
+
+
+def port_torch_state_dict(variables: Mapping[str, Any],
+                          state_dict: Mapping[str, np.ndarray],
+                          prefix: str = "",
+                          strict: bool = True) -> Dict[str, Any]:
+    """Fill `variables` (as produced by model.init) from a torch state_dict.
+
+    Returns the new variable dict.  With `strict`, raises on any missing
+    target leaf; always ignores extra torch keys (e.g. buffers like
+    `relative_position_index` we recompute statically).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    new_vars = unfreeze(variables)
+    missing = []
+    used = set()
+    for col, tree in new_vars.items():
+        flat = traverse_util.flatten_dict(tree)
+        for path, target in flat.items():
+            key = prefix + flax_path_to_torch_key(col, tuple(str(p) for p in path))
+            if key not in sd:
+                missing.append((col, path, key))
+                continue
+            leaf = str(path[-1])
+            if col == "codebook":
+                v = sd[key]
+                if v.shape != target.shape:
+                    raise ValueError(f"{key}: {v.shape} vs {target.shape}")
+            else:
+                v = _to_flax_leaf(leaf, sd[key], target.shape)
+            flat[path] = jnp.asarray(v, dtype=target.dtype)
+            used.add(key)
+        new_vars[col] = traverse_util.unflatten_dict(flat)
+    if strict and missing:
+        lines = "\n".join(f"  [{c}] {'/'.join(map(str, p))} <- {k}"
+                          for c, p, k in missing[:40])
+        raise KeyError(f"{len(missing)} variables missing in torch checkpoint:\n{lines}")
+    return new_vars
+
+
+def load_torch_checkpoint(path: str, param_key: str | None = "params_ema"):
+    """Load a .pth/.safetensors checkpoint into a numpy state_dict."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return load_file(path)
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if param_key and isinstance(obj, dict) and param_key in obj:
+        obj = obj[param_key]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}

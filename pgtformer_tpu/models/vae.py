@@ -1,0 +1,274 @@
+"""TDCRQVAE3 — temporal-deformation-capable RQ-VAE (flagship autoencoder).
+
+TPU-native re-design of reference archs/tdcrqvae3_arch.py:460-873:
+  * channels-last [B, T, H, W, C] video tensors, NHWC convs;
+  * spatio-temporal shifted-window attention towers (EncoderLayer) at the
+    configured attention resolutions;
+  * RQBottleneck with EMA codebooks (see quantizer.py);
+  * `jax.checkpoint` rematerialisation instead of torch checkpointing.
+
+Deployed config (options/release_test_stage_IIII_dont_need_align_version.yml:70-87):
+512x512 input, ch 64, ch_mult [1,2,4,4,8], 1 res-block/level, attention at
+{32,64,128} with 4x4 windows over T=3 frames, z_channels 256, codebook 1024x512.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from pgtformer_tpu.config import DDConfig, VQVAEConfig
+from pgtformer_tpu.nn.blocks import (
+    ResnetBlock, Upsample, Downsample, EncoderLayer, group_norm)
+from pgtformer_tpu.models.quantizer import RQBottleneck
+from pgtformer_tpu.registry import ARCH_REGISTRY
+
+Dtype = Any
+
+
+class Encoder3D(nn.Module):
+    """Conv tower with spatio-temporal window attention
+    (reference tdcrqvae3_arch.py:460-573).
+
+    I/O: [B, T, H, W, C_in] -> [B*T, H/2^L, W/2^L, z_channels]
+    (+ per-level features when `return_multi_res_feats`).
+    """
+    cfg: DDConfig
+    checkpointing: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_multi_res_feats: bool = False):
+        cfg = self.cfg
+        B, T, H, W, Cin = x.shape
+        num_res = cfg.num_resolutions
+        in_ch_mult = (1,) + tuple(cfg.ch_mult)
+
+        h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(x.reshape(B * T, H, W, Cin))
+        h = h.reshape(B, T, H, W, cfg.ch)
+
+        def maybe_remat(mod):
+            return nn.remat(mod) if self.checkpointing else mod
+
+        multi_res_feats: List[jnp.ndarray] = []
+        curr_res = cfg.resolution
+        for i_level in range(num_res):
+            block_out = cfg.ch * cfg.ch_mult[i_level]
+            has_attn = curr_res in cfg.attn_resolutions
+            for i_block in range(cfg.num_res_blocks):
+                h = maybe_remat(ResnetBlock)(
+                    out_channels=block_out, dropout=cfg.dropout,
+                    dtype=self.dtype,
+                    name=f"down_{i_level}_block_{i_block}")(h)
+                if has_attn:
+                    h = EncoderLayer(
+                        dim=block_out, depth=cfg.depths[i_level],
+                        num_heads=cfg.num_heads[i_level], num_frames=T,
+                        window_size=tuple(cfg.window_sizes[i_level]),
+                        mlp_ratio=1.0, dtype=self.dtype,
+                        name=f"down_{i_level}_attn_{i_block}")(h)
+            multi_res_feats.append(h)
+            if i_level != num_res - 1:
+                h = Downsample(with_conv=cfg.resamp_with_conv, dtype=self.dtype,
+                               name=f"down_{i_level}_downsample")(h)
+                curr_res //= 2
+
+        # middle
+        block_in = cfg.ch * cfg.ch_mult[-1]
+        h = maybe_remat(ResnetBlock)(dropout=cfg.dropout, dtype=self.dtype,
+                                     name="mid_block_1")(h)
+        h = EncoderLayer(dim=block_in, depth=cfg.depths[-1],
+                         num_heads=cfg.num_heads[-1], num_frames=T,
+                         window_size=tuple(cfg.window_sizes[-1]),
+                         mlp_ratio=1.0, dtype=self.dtype,
+                         name="mid_attn_1")(h)
+        h = maybe_remat(ResnetBlock)(dropout=cfg.dropout, dtype=self.dtype,
+                                     name="mid_block_2")(h)
+
+        # end (per-frame)
+        Bc, Tc, Hc, Wc, Cc = h.shape
+        h = h.reshape(Bc * Tc, Hc, Wc, Cc)
+        h = group_norm(self.dtype, "norm_out")(h)
+        h = jax.nn.silu(h)
+        out_c = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+        h = nn.Conv(out_c, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(h)
+        if return_multi_res_feats:
+            return h, multi_res_feats
+        return h
+
+
+class Decoder3D(nn.Module):
+    """Mirror decoder tower (reference tdcrqvae3_arch.py:577-707).
+
+    I/O: z [B*T, h, w, z_channels] -> [B*T, H, W, out_ch].
+
+    `fuse_fn(resolution, h)` — optional hook called after each level's
+    blocks/attention, *before* its upsample; this is how PGTFormer injects
+    its controllable-feature-transformation skips without re-implementing
+    the decoder loop (reference pgtformer_arch.py:675-710 inlines the whole
+    decoder instead).
+    """
+    cfg: DDConfig
+    num_frames: int = 3
+    give_pre_end: bool = False
+    checkpointing: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray,
+                 fuse_fn: Optional[Callable[[int, jnp.ndarray], jnp.ndarray]] = None):
+        cfg = self.cfg
+        T = self.num_frames
+        num_res = cfg.num_resolutions
+        block_in = cfg.ch * cfg.ch_mult[-1]
+        curr_res = cfg.resolution // 2 ** (num_res - 1)
+
+        BT, hh, ww, zc = z.shape
+        B = BT // T
+
+        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(z)
+
+        def maybe_remat(mod):
+            return nn.remat(mod) if self.checkpointing else mod
+
+        # middle
+        h = maybe_remat(ResnetBlock)(dropout=cfg.dropout, dtype=self.dtype,
+                                     name="mid_block_1")(h)
+        h = h.reshape(B, T, hh, ww, block_in)
+        h = EncoderLayer(dim=block_in, depth=cfg.depths[-1],
+                         num_heads=cfg.num_heads[-1], num_frames=T,
+                         window_size=tuple(cfg.window_sizes[-1]),
+                         mlp_ratio=1.0, dtype=self.dtype,
+                         name="mid_attn_1")(h)
+        h = maybe_remat(ResnetBlock)(dropout=cfg.dropout, dtype=self.dtype,
+                                     name="mid_block_2")(h)
+
+        # upsampling
+        for i_level in reversed(range(num_res)):
+            block_out = cfg.ch * cfg.ch_mult[i_level]
+            has_attn = curr_res in cfg.attn_resolutions
+            for i_block in range(cfg.num_res_blocks + 1):
+                h = maybe_remat(ResnetBlock)(
+                    out_channels=block_out, dropout=cfg.dropout,
+                    dtype=self.dtype,
+                    name=f"up_{i_level}_block_{i_block}")(h)
+                if has_attn:
+                    h = EncoderLayer(
+                        dim=block_out, depth=cfg.depths[i_level],
+                        num_heads=cfg.num_heads[i_level], num_frames=T,
+                        window_size=tuple(cfg.window_sizes[i_level]),
+                        mlp_ratio=1.0, dtype=self.dtype,
+                        name=f"up_{i_level}_attn_{i_block}")(h)
+            if fuse_fn is not None:
+                h = fuse_fn(curr_res, h)
+            if i_level != 0:
+                h = Upsample(with_conv=cfg.resamp_with_conv, dtype=self.dtype,
+                             name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+
+        if self.give_pre_end:
+            return h
+
+        Bc, Tc, Hc, Wc, Cc = h.shape
+        h = h.reshape(Bc * Tc, Hc, Wc, Cc)
+        h = group_norm(self.dtype, "norm_out")(h)
+        h = jax.nn.silu(h)
+        return nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(h)
+
+
+@ARCH_REGISTRY.register()
+class TDCRQVAE3(nn.Module):
+    """Temporal RQ-VAE (reference archs/tdcrqvae3_arch.py:711-873).
+
+    __call__(x [B, T, H, W, 3], code_only, train) ->
+        (out [B*T, H, W, 3] | z_q, quant_loss, codes)
+    """
+    cfg: VQVAEConfig
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        assert cfg.loss_type in ("mse", "l1")
+        if cfg.bottleneck_type != "rq":
+            raise ValueError("invalid 'bottleneck_type' (must be 'rq')")
+        self.encoder = Encoder3D(cfg.ddconfig, checkpointing=cfg.checkpointing,
+                                 dtype=self.dtype)
+        self.decoder = Decoder3D(cfg.ddconfig, num_frames=cfg.tf,
+                                 checkpointing=cfg.checkpointing,
+                                 dtype=self.dtype)
+        self.quantizer = RQBottleneck(
+            latent_shape=cfg.latent_shape, code_shape=cfg.code_shape,
+            n_embed=cfg.n_embed, decay=cfg.decay,
+            shared_codebook=cfg.shared_codebook,
+            restart_unused_codes=cfg.restart_unused_codes,
+            axis_name=self.axis_name, dtype=self.dtype)
+        self.quant_conv = nn.Conv(cfg.embed_dim, (1, 1), dtype=self.dtype,
+                                  name="quant_conv")
+        self.post_quant_conv = nn.Conv(cfg.ddconfig.z_channels, (1, 1),
+                                       dtype=self.dtype,
+                                       name="post_quant_conv")
+
+    def __call__(self, x: jnp.ndarray, code_only: bool = False,
+                 train: bool = False):
+        z_e = self.encode(x)
+        z_q, quant_loss, codes = self.quantizer(z_e, train=train)
+        if code_only:
+            return z_q, quant_loss, codes
+        out = self.decode(z_q)
+        return out, quant_loss, codes
+
+    def encode(self, x: jnp.ndarray,
+               return_multi_res_feats: bool = False):
+        """x [B, T, H, W, 3] -> z_e [B*T, h, w, embed_dim]."""
+        if return_multi_res_feats:
+            h, feats = self.encoder(x, return_multi_res_feats=True)
+            return self.quant_conv(h), feats
+        h = self.encoder(x)
+        return self.quant_conv(h)
+
+    def decode(self, z_q: jnp.ndarray) -> jnp.ndarray:
+        """z_q [B*T, h, w, embed_dim] -> [B*T, H, W, out_ch]."""
+        return self.decoder(self.post_quant_conv(z_q))
+
+    def get_codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        z_e = self.encode(x)
+        _, _, codes = self.quantizer(z_e)
+        return codes
+
+    def get_soft_codes(self, x: jnp.ndarray, temp: float = 1.0,
+                       stochastic: bool = False):
+        z_e = self.encode(x)
+        return self.quantizer.get_soft_codes(z_e, temp=temp,
+                                             stochastic=stochastic)
+
+    def decode_code(self, codes: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.quantizer.embed_code(codes))
+
+    def decode_partial_code(self, codes: jnp.ndarray, code_idx: int,
+                            decode_type: str = "select") -> jnp.ndarray:
+        z_q = self.quantizer.embed_partial_code(codes, code_idx, decode_type)
+        return self.decode(z_q)
+
+    def compute_loss(self, out, quant_loss, codes, xs, valid: bool = False):
+        """Reconstruction + weighted commitment loss
+        (reference tdcrqvae3_arch.py:823-845)."""
+        diff = out.astype(jnp.float32) - xs.astype(jnp.float32)
+        if self.cfg.loss_type == "mse":
+            loss_recon = jnp.mean(diff ** 2)
+        else:
+            loss_recon = jnp.mean(jnp.abs(diff))
+        loss_latent = quant_loss
+        if valid:
+            loss_recon = loss_recon * xs.shape[0] * xs.shape[1]
+            loss_latent = loss_latent * xs.shape[0]
+        total = loss_recon + self.cfg.latent_loss_weight * loss_latent
+        return {"loss_total": total, "loss_recon": loss_recon,
+                "loss_latent": loss_latent, "codes": [codes]}
