@@ -1,0 +1,79 @@
+"""Video restoration CLI — flag-compatible with the reference
+(`python inference.py -i in.mp4 -o out.mp4`, reference inference.py:123-157).
+
+Usage:
+    python -m pgtformer_tpu.cli -i input.mp4 -o output.mp4 \
+        [--weights weights.pth] [--fidelity 1.0] [--batch 4] [--fp32]
+
+Weights: a reference-format torch checkpoint (HF `kepeng/pgtformer-base`
+pytorch_model.bin / safetensors, or a BasicSR net_g .pth with `params_ema`)
+is ported on the fly.  Without weights the model runs randomly initialized
+(pipeline smoke-testing only) and a loud warning is printed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def load_variables(model, cfg, weights_path, sample_shape, dtype):
+    from pgtformer_tpu.convert.torch_port import (
+        port_torch_state_dict, load_torch_checkpoint)
+
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros(sample_shape, jnp.float32), w=1.0))
+    if weights_path:
+        sd = load_torch_checkpoint(weights_path)
+        zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+        return port_torch_state_dict(zeros, sd)
+    print("WARNING: no --weights given; running with random weights "
+          "(pipeline smoke test only).", file=sys.stderr)
+    return model.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros(sample_shape, jnp.float32), w=1.0)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="PGTFormer-TPU blind video face restoration")
+    parser.add_argument("-i", "--input_video", type=str, required=True,
+                        help="Input video file path")
+    parser.add_argument("-o", "--output_video", type=str, required=True,
+                        help="Output video file path")
+    parser.add_argument("--weights", type=str, default=None,
+                        help="Reference-format torch checkpoint to port")
+    parser.add_argument("--fidelity", "-w", type=float, default=1.0,
+                        help="Fidelity knob w (reference model(x, w=...))")
+    parser.add_argument("--batch", type=int, default=4,
+                        help="Sliding windows per device step")
+    parser.add_argument("--fp32", action="store_true",
+                        help="Compute in float32 (default bfloat16)")
+    args = parser.parse_args(argv)
+
+    from pgtformer_tpu.config import RELEASE_PGTFORMER
+    from pgtformer_tpu.pipeline import VideoRestorer
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    cfg = RELEASE_PGTFORMER
+    model = PGTFormer(cfg, dtype=dtype)
+    res = cfg.vqvae.ddconfig.resolution
+    sample_shape = (1, cfg.vqvae.tf, res, res, 3)
+    variables = load_variables(model, cfg, args.weights, sample_shape, dtype)
+
+    restorer = VideoRestorer(variables, cfg, w=args.fidelity,
+                             batch_windows=args.batch, dtype=dtype)
+    stats = restorer.restore_video(args.input_video, args.output_video,
+                                   progress=True)
+    print(f"restored {stats['frames']} frames in {stats['seconds']:.1f}s "
+          f"({stats['fps']:.2f} fps)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

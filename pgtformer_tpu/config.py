@@ -42,6 +42,11 @@ class DDConfig:
     attn_resolutions: Tuple[int, ...] = (32, 64, 128)
     dropout: float = 0.0
     resamp_with_conv: bool = True
+    # latent-space 3D-swin options (used by TDRQVAE only; present in the
+    # reference YAML ddconfig — options/...yml:74-76)
+    stages_atten: int = 4
+    window_size: Tuple[int, int, int] = (5, 5, 5)
+    num_head: int = 8
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "DDConfig":

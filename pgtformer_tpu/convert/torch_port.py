@@ -36,6 +36,8 @@ _MODULE_RENAMES = [
     (re.compile(r"^mid_attn_(\d+)$"), r"mid.attn_\1"),
     (re.compile(r"^blocks_(\d+)$"), r"blocks.\1"),
     (re.compile(r"^ft_layers_(\d+)$"), r"ft_layers.\1"),
+    (re.compile(r"^blocks_(\d+)_conv$"), r"blocks.\1.conv"),
+    (re.compile(r"^main_(\d+)$"), r"main.\1"),
     (re.compile(r"^fuse_convs_(\d+)$"), r"fuse_convs_dict.\1"),
     (re.compile(r"^layer(\d+)_(\d+)$"), r"layer\1.\2"),
     (re.compile(r"^downsample_conv$"), r"downsample.0"),
@@ -48,6 +50,8 @@ _MODULE_RENAMES = [
 _LEAF_RENAMES = {
     "kernel": "weight",
     "scale": "weight",
+    "embedding": "embedding.weight",   # VectorQuantizer nn.Embedding
+    "embed": "embed.weight",           # GumbelQuantizer nn.Embedding
     "bias": "bias",
     "in_proj_kernel": "in_proj_weight",
     "in_proj_bias": "in_proj_bias",

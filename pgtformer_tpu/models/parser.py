@@ -183,9 +183,16 @@ class BiSeNet(nn.Module):
     """Face parser emitting the 57-channel 32x32 semantic prior
     (reference pgtformer_arch.py:354-379; three 19-class heads concatenated).
 
-    Input: ImageNet-normalized [N, H, W, 3]; output [N, 32, 32, 57].
+    Input: ImageNet-normalized [N, H, W, 3]; output [N, *out_hw, 3*n_classes].
+
+    `out_hw` generalizes the reference's hardcoded 32x32 head resolution so
+    small-geometry configs work; at the deployed 512-input geometry every
+    resize below reproduces the reference exactly (feat_out32 is already at
+    out_hw and its resize is the identity, matching the reference leaving it
+    un-interpolated — pgtformer_arch.py:375-378).
     """
     n_classes: int = 19
+    out_hw: tuple = (32, 32)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -202,7 +209,7 @@ class BiSeNet(nn.Module):
         feat_out32 = BiSeNetOutput(64, self.n_classes, dtype=self.dtype,
                                    name="conv_out32")(feat_cp16)
 
-        feat_out = resize_bilinear_align_corners(feat_out, (32, 32))
-        feat_out16 = resize_bilinear_align_corners(feat_out16, (32, 32))
-        # feat_out32 is already 32x32 for 512-res input (ref keeps it as-is)
+        feat_out = resize_bilinear_align_corners(feat_out, self.out_hw)
+        feat_out16 = resize_bilinear_align_corners(feat_out16, self.out_hw)
+        feat_out32 = resize_bilinear_align_corners(feat_out32, self.out_hw)
         return jnp.concatenate([feat_out, feat_out16, feat_out32], axis=-1)

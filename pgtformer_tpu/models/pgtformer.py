@@ -124,8 +124,15 @@ class PGTFormer(nn.Module):
                                        dtype=self.dtype,
                                        name="post_quant_conv")
 
-        self.conditionnet = BiSeNet(cfg.n_parsing_classes, dtype=self.dtype)
-        self.convpos = nn.Conv(512, (1, 1), dtype=self.dtype, name="convpos")
+        dd = vq.ddconfig
+        latent_res = dd.resolution // 2 ** (dd.num_resolutions - 1)
+        self.conditionnet = BiSeNet(cfg.n_parsing_classes,
+                                    out_hw=(latent_res, latent_res),
+                                    dtype=self.dtype)
+        # 57 -> dim_embd positional projection (512 in the deployed config;
+        # reference pgtformer_arch.py:520 hardcodes 512)
+        self.convpos = nn.Conv(cfg.dim_embd, (1, 1), dtype=self.dtype,
+                               name="convpos")
         self.feat_emb = nn.Dense(cfg.dim_embd, dtype=self.dtype,
                                  name="feat_emb")
         self.ft_layers = [TransformerSALayer(
@@ -142,12 +149,17 @@ class PGTFormer(nn.Module):
             self.quantizer_depth * self.codebook_size, use_bias=False,
             dtype=self.dtype, name="idx_pred_head")
 
-        # encoder feature channels per resolution (reference :535-542)
-        self.channels = {"16": 512, "32": 512, "64": 256, "128": 256,
-                         "256": 128, "512": 64}
-        # multi_res_feats index per resolution key (reference :544)
-        self.fuse_encoder_indices = {"512": 0, "256": 1, "128": 2,
-                                     "64": 3, "32": 4, "16": 5}
+        # encoder feature channels / multi_res_feats index per resolution,
+        # derived from ddconfig (equals the reference's hardcoded tables
+        # :535-544 at the deployed geometry)
+        channels = {}
+        fuse_encoder_indices = {}
+        for i in range(dd.num_resolutions):
+            res = dd.resolution // 2 ** i
+            channels[str(res)] = dd.ch * dd.ch_mult[i]
+            fuse_encoder_indices[str(res)] = i
+        self.channels = channels
+        self.fuse_encoder_indices = fuse_encoder_indices
         self.fuse_convs_dict = {
             f_size: FuseSftBlock(self.channels[f_size], self.channels[f_size],
                                  t=vq.tf, dtype=self.dtype,

@@ -1,0 +1,144 @@
+"""Training losses for the four-stage PGTFormer recipe.
+
+The reference's loss classes live in a *private BasicSR fork absent from the
+repo* (`TanmingGANLoss`, `FocalLoss`, `GRADL1Loss`, `TemporalLPIPSLoss`,
+`LPIPSLoss` — named in options/*.yml, e.g.
+release_test_stage_IIII_dont_need_align_version.yml:171-199, verified absent
+by SURVEY.md). These are therefore re-constructions from the YAML signatures
+and standard definitions ("Tanming" == taming-transformers hinge GAN loss),
+not ports.
+
+All losses are pure functions over channels-last arrays; video losses take
+[B, T, H, W, C].
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pgtformer_tpu.registry import LOSS_REGISTRY
+
+
+# -- pixel losses -----------------------------------------------------------
+
+@LOSS_REGISTRY.register(name="L1Loss")
+def l1_loss(pred, target, loss_weight: float = 1.0):
+    return loss_weight * jnp.mean(jnp.abs(pred.astype(jnp.float32)
+                                          - target.astype(jnp.float32)))
+
+
+@LOSS_REGISTRY.register(name="MSELoss")
+def mse_loss(pred, target, loss_weight: float = 1.0):
+    d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    return loss_weight * jnp.mean(d * d)
+
+
+@LOSS_REGISTRY.register(name="GRADL1Loss")
+def grad_l1_loss(pred, target, loss_weight: float = 1.0,
+                 lossmulti: Sequence[float] = (0.2, 0.05, 0.05),
+                 tf: int = 3):
+    """L1 + temporal-gradient L1 over the T-frame clip.
+
+    Stage-IV pixel loss (yml: `GRADL1Loss, lossmulti [0.2,0.05,0.05], tf 3`).
+    Base L1 plus weighted L1 on the temporal differences of each ordered
+    frame pair — for tf=3 the pairs (0,1), (1,2), (0,2) weighted by
+    `lossmulti`.  pred/target: [B, T, H, W, C].
+    """
+    base = jnp.mean(jnp.abs(pred.astype(jnp.float32)
+                            - target.astype(jnp.float32)))
+    pairs = [(i, j) for i in range(tf) for j in range(i + 1, tf)]
+    total = base
+    for w, (i, j) in zip(lossmulti, pairs):
+        dp = pred[:, j] - pred[:, i]
+        dt = target[:, j] - target[:, i]
+        total = total + w * jnp.mean(jnp.abs(dp.astype(jnp.float32)
+                                             - dt.astype(jnp.float32)))
+    return loss_weight * total
+
+
+# -- token losses -----------------------------------------------------------
+
+@LOSS_REGISTRY.register(name="CrossEntropyLoss")
+def cross_entropy_loss(logits, codes, loss_weight: float = 1.0):
+    """Token CE over code logits.  logits [..., n_embed], codes [...] int."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
+    return loss_weight * jnp.mean(nll)
+
+
+@LOSS_REGISTRY.register(name="FocalLoss")
+def focal_loss(logits, codes, loss_weight: float = 1.0, gamma: float = 2.0,
+               alpha: Optional[float] = None):
+    """Focal cross-entropy over code logits (stage-IV token loss)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp_t = jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
+    p_t = jnp.exp(logp_t)
+    focal = -((1.0 - p_t) ** gamma) * logp_t
+    if alpha is not None:
+        focal = alpha * focal
+    return loss_weight * jnp.mean(focal)
+
+
+# -- GAN losses -------------------------------------------------------------
+
+@LOSS_REGISTRY.register(name="TanmingGANLoss")
+class HingeGANLoss:
+    """taming-transformers-style hinge GAN loss ("TanmingGANLoss" in the
+    reference YAMLs) with optional adaptive generator weighting."""
+
+    def __init__(self, gan_type: str = "hinge", loss_weight: float = 1.0):
+        assert gan_type in ("hinge", "vanilla")
+        self.gan_type = gan_type
+        self.loss_weight = loss_weight
+
+    def g_loss(self, fake_logits):
+        f = fake_logits.astype(jnp.float32)
+        if self.gan_type == "hinge":
+            return -jnp.mean(f) * self.loss_weight
+        return jnp.mean(jax.nn.softplus(-f)) * self.loss_weight
+
+    def d_loss(self, real_logits, fake_logits):
+        r = real_logits.astype(jnp.float32)
+        f = fake_logits.astype(jnp.float32)
+        if self.gan_type == "hinge":
+            return 0.5 * (jnp.mean(jax.nn.relu(1.0 - r))
+                          + jnp.mean(jax.nn.relu(1.0 + f)))
+        return 0.5 * (jnp.mean(jax.nn.softplus(-r))
+                      + jnp.mean(jax.nn.softplus(f)))
+
+
+def adaptive_gan_weight(nll_grad_last, gan_grad_last,
+                        max_weight: float = 1e4) -> jnp.ndarray:
+    """taming's calculate_adaptive_weight: ||d nll/d last|| / ||d gan/d last||.
+
+    The reference exposes `get_last_layer` for exactly this
+    (pgtformer_arch.py:592-596).
+    """
+    n = jnp.linalg.norm(nll_grad_last.astype(jnp.float32))
+    g = jnp.linalg.norm(gan_grad_last.astype(jnp.float32))
+    w = n / (g + 1e-4)
+    return jax.lax.stop_gradient(jnp.clip(w, 0.0, max_weight))
+
+
+# -- perceptual losses (LPIPS lives in train/lpips.py) ----------------------
+
+def temporal_lpips_loss(lpips_fn, pred, target, temporal: int = 3,
+                        tgrad_weight: float = 0.8):
+    """LPIPS + tgrad_weight * LPIPS on temporal gradients
+    (stage-IV `TemporalLPIPSLoss, temporal 3, tgrad_weight 0.8`).
+
+    pred/target: [B, T, H, W, C] in [0, 1]; lpips_fn maps two [N,H,W,C]
+    batches to per-sample distances.
+    """
+    B, T = pred.shape[:2]
+    flat = lambda x: x.reshape(B * T, *x.shape[2:])
+    base = jnp.mean(lpips_fn(flat(pred), flat(target)))
+    dp = pred[:, 1:] - pred[:, :-1]
+    dt = target[:, 1:] - target[:, :-1]
+    n = B * (T - 1)
+    tg = jnp.mean(lpips_fn(dp.reshape(n, *dp.shape[2:]),
+                           dt.reshape(n, *dt.shape[2:])))
+    return base + tgrad_weight * tg

@@ -137,7 +137,10 @@ def reference():
 
 
 def torch_state_dict_to_numpy(module) -> dict:
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+    # .copy() matters: torch's EMA codebooks mutate in place, and jnp.asarray
+    # on CPU may alias the shared numpy buffer
+    return {k: v.detach().cpu().numpy().copy()
+            for k, v in module.state_dict().items()}
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,159 @@
+"""Training-system tests: stage I-IV steps run, losses decrease-able,
+multi-device data-parallel step == single-device step."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pgtformer_tpu.config import DDConfig, VQVAEConfig, PGTFormerConfig
+from pgtformer_tpu.train.stages import (
+    Stage1Trainer, PGTFormerTrainer, STAGE_HYPERS, StageHyper, trainable_mask)
+from pgtformer_tpu.train import losses as L
+from pgtformer_tpu.parallel.mesh import make_mesh
+from pgtformer_tpu.models.vae import TDCRQVAE3
+from pgtformer_tpu.models.vqgan import VQGANDiscriminator
+
+SMALL_DISC = VQGANDiscriminator(ndf=16, n_layers=2)
+
+SMALL_DD = DDConfig(
+    double_z=False, z_channels=32, resolution=32, in_channels=3, out_ch=3,
+    ch=32, ch_mult=(1, 2), depths=(1, 1), num_heads=(4, 4),
+    window_sizes=((4, 4), (4, 4)), num_frames=3, num_res_blocks=1,
+    attn_resolutions=(16,), dropout=0.0)
+
+SMALL_VQ = VQVAEConfig(ddconfig=SMALL_DD, embed_dim=32, n_embed=64,
+                       latent_shape=(16, 16, 32), code_shape=(16, 16, 1),
+                       shared_codebook=True, restart_unused_codes=True, tf=3)
+
+SMALL_PGT = PGTFormerConfig(vqvae=SMALL_VQ, dim_embd=64, n_head=4,
+                            n_layers=2, connect_list=("16", "32"),
+                            w=1.0, adain=True)
+
+FAST_HP = StageHyper(milestones=(100,), warmup_iter=-1, total_iter=100,
+                     gan_start_iter=-1)
+
+
+def _batch(rng, n=2):
+    gt = rng.uniform(0, 1, size=(n, 3, 32, 32, 3)).astype(np.float32)
+    lq = np.clip(gt + rng.normal(scale=0.05, size=gt.shape), 0, 1
+                 ).astype(np.float32)
+    return {"gt": jnp.asarray(gt), "lq": jnp.asarray(lq)}
+
+
+def test_stage1_step_runs_and_updates():
+    trainer = Stage1Trainer(SMALL_VQ, FAST_HP, disc=SMALL_DISC)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["gt"])
+    step = trainer.make_step()
+    new_state, metrics = step(state, batch["gt"])
+    assert int(new_state.step) == 1
+    for k in ("l_pix", "l_quant", "l_g_total", "l_d"):
+        assert np.isfinite(float(metrics[k])), k
+    # params actually moved
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.g.params, new_state.g.params)
+    assert max(jax.tree.leaves(d)) > 0
+    # codebook EMA moved
+    cs0 = state.g.codebook["quantizer"]["codebooks_0_cluster_size_ema"]
+    cs1 = new_state.g.codebook["quantizer"]["codebooks_0_cluster_size_ema"]
+    assert float(jnp.abs(cs1 - cs0).max()) > 0
+
+
+def test_stage1_multi_device_matches_single():
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, n=8)
+
+    single = Stage1Trainer(SMALL_VQ, FAST_HP, disc=SMALL_DISC)
+    s_state = single.init_state(jax.random.PRNGKey(0), batch["gt"])
+    s_new, s_metrics = single.make_step()(s_state, batch["gt"])
+
+    multi = Stage1Trainer(SMALL_VQ, FAST_HP, mesh=mesh, disc=SMALL_DISC)
+    m_state = multi.init_state(jax.random.PRNGKey(0), batch["gt"])
+    m_new, m_metrics = multi.make_step()(m_state, batch["gt"])
+
+    # loss metrics: pmean over shards == full-batch mean
+    np.testing.assert_allclose(float(m_metrics["l_pix"]),
+                               float(s_metrics["l_pix"]), rtol=1e-4)
+    # gradients/params: pmean of shard grads == full-batch grad
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        s_new.g.params, m_new.g.params)
+    assert max(jax.tree.leaves(diff)) < 5e-5
+    # codebook cluster stats are psum'd to the same totals
+    np.testing.assert_allclose(
+        np.asarray(m_new.g.codebook["quantizer"]["codebooks_0_cluster_size_ema"]),
+        np.asarray(s_new.g.codebook["quantizer"]["codebooks_0_cluster_size_ema"]),
+        atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def teacher_and_student():
+    teacher = TDCRQVAE3(SMALL_VQ)
+    x = jnp.zeros((1, 3, 32, 32, 3), jnp.float32)
+    t_vars = teacher.init({"params": jax.random.PRNGKey(7)}, x)
+    return t_vars
+
+
+def test_stage2_code_only_step(teacher_and_student):
+    hp = STAGE_HYPERS["II"].__class__(**{
+        **STAGE_HYPERS["II"].__dict__, "milestones": (100,)})
+    trainer = PGTFormerTrainer(SMALL_PGT, stage="II", hp=hp, disc=SMALL_DISC)
+    rng = np.random.default_rng(2)
+    batch = _batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(1), batch["lq"],
+                               teacher_and_student)
+    new_state, metrics = trainer.make_step()(state, batch)
+    assert np.isfinite(float(metrics["l_token"]))
+    assert np.isfinite(float(metrics["l_feat"]))
+    # frozen modules must not move
+    for frozen in ("decoder", "conditionnet", "post_quant_conv"):
+        d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.g.params[frozen], new_state.g.params[frozen])
+        assert max(jax.tree.leaves(d)) == 0.0, frozen
+    # trainable encoder must move
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.g.params["encoder"], new_state.g.params["encoder"])
+    assert max(jax.tree.leaves(d)) > 0
+
+
+def test_stage4_full_gan_step(teacher_and_student):
+    hp = StageHyper(**{**STAGE_HYPERS["IV"].__dict__, "milestones": (100,)})
+    trainer = PGTFormerTrainer(SMALL_PGT, stage="IV", hp=hp, disc=SMALL_DISC)
+    rng = np.random.default_rng(3)
+    batch = _batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(2), batch["lq"],
+                               teacher_and_student)
+    new_state, metrics = trainer.make_step()(state, batch)
+    for k in ("l_token", "l_feat", "l_pix", "l_g_total", "l_d"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(new_state.step) == 1
+
+
+def test_grad_l1_and_focal_losses():
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.normal(size=(2, 3, 8, 8, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 3, 8, 8, 3)).astype(np.float32))
+    v = L.grad_l1_loss(a, b)
+    assert float(v) > 0 and np.isfinite(float(v))
+    assert float(L.grad_l1_loss(a, a)) == 0.0
+
+    logits = jnp.asarray(rng.normal(size=(2, 4, 4, 1, 16)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 16, size=(2, 4, 4, 1)))
+    ce = L.cross_entropy_loss(logits, codes)
+    fl = L.focal_loss(logits, codes)
+    assert float(fl) < float(ce)  # focal down-weights easy examples
+    # focal of a confident correct prediction ~ 0
+    conf = jnp.full((1, 1, 1, 1, 16), -20.0).at[..., 3].set(20.0)
+    assert float(L.focal_loss(conf, jnp.full((1, 1, 1, 1), 3))) < 1e-6
+
+
+def test_trainable_mask():
+    params = {"encoder": {"conv": {"kernel": 1}},
+              "decoder": {"conv": {"kernel": 1}},
+              "conditionnet": {"bn": {"scale": 1}}}
+    mask = trainable_mask(params, ["decoder", "conditionnet"])
+    assert mask["encoder"]["conv"]["kernel"] is True
+    assert mask["decoder"]["conv"]["kernel"] is False
+    assert mask["conditionnet"]["bn"]["scale"] is False
