@@ -146,6 +146,51 @@ def port_torch_state_dict(variables: Mapping[str, Any],
     return new_vars
 
 
+def from_pretrained(repo_or_path: str, cfg=None, dtype=None,
+                    param_key: str | None = "params_ema"):
+    """Build a PGTFormer and fill it from a reference-format checkpoint.
+
+    `repo_or_path` may be a local .pth/.safetensors file, a local directory
+    containing `pytorch_model.bin`/`model.safetensors`, or a HF Hub repo id
+    (e.g. `kepeng/pgtformer-base` — the reference's release channel,
+    inference.py:118; requires network access).
+
+    Returns (model, variables).
+    """
+    import os
+    import jax
+    import jax.numpy as jnp
+    from pgtformer_tpu.config import RELEASE_PGTFORMER
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+
+    cfg = cfg or RELEASE_PGTFORMER
+    dtype = dtype or jnp.bfloat16
+
+    path = repo_or_path
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    elif not os.path.exists(path):
+        from huggingface_hub import hf_hub_download
+        try:
+            path = hf_hub_download(repo_or_path, "model.safetensors")
+        except Exception:
+            path = hf_hub_download(repo_or_path, "pytorch_model.bin")
+
+    sd = load_torch_checkpoint(path, param_key=param_key)
+    model = PGTFormer(cfg, dtype=dtype)
+    res = cfg.vqvae.ddconfig.resolution
+    x = jnp.zeros((1, cfg.vqvae.tf, res, res, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, w=1.0))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    variables = port_torch_state_dict(zeros, sd)
+    return model, variables
+
+
 def load_torch_checkpoint(path: str, param_key: str | None = "params_ema"):
     """Load a .pth/.safetensors checkpoint into a numpy state_dict."""
     if path.endswith(".safetensors"):

@@ -208,13 +208,19 @@ class PGTFormer(nn.Module):
 
         # ---- quantization ----------------------------------------------------
         codes = jnp.argmax(logits, axis=-1)              # [B*T, th, tw, d]
+        out = self._decode_restored(codes, lq_feat, enc_feat_dict, w=w,
+                                    detach_16=detach_16, adain=adain)
+        return out, logits, lq_feat
+
+    def _decode_restored(self, codes, lq_feat, enc_feat_dict, *, w,
+                         detach_16, adain):
+        """Codebook lookup -> (detach/AdaIN) -> fuse-SFT decode."""
         quant_feat = self.quantizer.embed_code(codes)    # [B*T, th, tw, 512]
         if detach_16:
             quant_feat = jax.lax.stop_gradient(quant_feat)
         if adain:
             quant_feat = adaptive_instance_normalization(quant_feat, lq_feat)
 
-        # ---- decoder with temporal Fuse-SFT skips ---------------------------
         fuse_fn = None
         if w > 0:
             def fuse_fn(resolution: int, h: jnp.ndarray) -> jnp.ndarray:
@@ -225,8 +231,25 @@ class PGTFormer(nn.Module):
                 return h
 
         z_dec = self.post_quant_conv(quant_feat)
-        out = self.decoder(z_dec, fuse_fn=fuse_fn)
-        return out, logits, lq_feat
+        return self.decoder(z_dec, fuse_fn=fuse_fn)
+
+    def restore_from_codes(self, x: jnp.ndarray, codes: jnp.ndarray,
+                           w: Optional[float] = None,
+                           adain: Optional[bool] = None) -> jnp.ndarray:
+        """Restore with externally supplied code indices (code-space
+        editing / diagnostics): runs the encoder for the LQ features and
+        fuse skips, then decodes `codes` through the standard path."""
+        cfg = self.cfg
+        if w is None:
+            w = cfg.w
+        if adain is None:
+            adain = cfg.adain
+        z, multi_res_feats = self.encoder(x, return_multi_res_feats=True)
+        enc_feat_dict = {f: multi_res_feats[self.fuse_encoder_indices[f]]
+                         for f in cfg.connect_list}
+        lq_feat = self.quant_conv(z)
+        return self._decode_restored(codes, lq_feat, enc_feat_dict, w=w,
+                                     detach_16=True, adain=adain)
 
     # -- auxiliary API (parity with reference TDCRQVAE3 methods) -------------
     def encode(self, x: jnp.ndarray):

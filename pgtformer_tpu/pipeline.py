@@ -2,15 +2,25 @@
 
 Replaces the reference's one-window-at-a-time loop
 (reference inference.py:37-74: every output frame pays a full 3-frame
-forward through a single-sample batch) with a batched, async-dispatch
-pipeline: N sliding windows per device step, host decode overlapped with
-TPU compute via JAX's asynchronous dispatch.
+forward through a single-sample batch, and every frame crosses the host
+boundary 3x as float32) with:
+
+  * **unique-frame uint8 transfer**: each decoded frame is uploaded exactly
+    once, as uint8 (12x less host->device traffic than the naive
+    3x-duplicated float32 window batches);
+  * **on-device window assembly**: a rolling 2-frame device-side tail is
+    concatenated with the new chunk and gathered into [B, T, H, W, C]
+    sliding windows inside the jitted step;
+  * **batched restoration**: B windows per device step;
+  * **async dispatch**: host decode of chunk k+1 overlaps device compute of
+    chunk k (2 batches kept in flight);
+  * native (C++/libav) or OpenCV decode/encode backends.
 """
 
 from __future__ import annotations
 
 import time
-from typing import Iterator, Optional
+from typing import Iterator, List, Optional
 
 import numpy as np
 import jax
@@ -18,8 +28,29 @@ import jax.numpy as jnp
 
 from pgtformer_tpu.config import PGTFormerConfig, RELEASE_PGTFORMER
 from pgtformer_tpu.models.pgtformer import PGTFormer
-from pgtformer_tpu.io.video import (
-    VideoReader, VideoWriter, sliding_windows, batched)
+from pgtformer_tpu.io.video import VideoReader, VideoWriter
+
+
+def _open_reader(path: str, backend: str):
+    if backend in ("native", "auto"):
+        try:
+            from pgtformer_tpu.io.native import NativeVideoReader
+            return NativeVideoReader(path)
+        except Exception:
+            if backend == "native":
+                raise
+    return VideoReader(path)
+
+
+def _open_writer(path: str, fps: float, size_hw, backend: str):
+    if backend in ("native", "auto"):
+        try:
+            from pgtformer_tpu.io.native import NativeVideoWriter
+            return NativeVideoWriter(path, fps, size_hw)
+        except Exception:
+            if backend == "native":
+                raise
+    return VideoWriter(path, fps, size_hw)
 
 
 class VideoRestorer:
@@ -27,59 +58,116 @@ class VideoRestorer:
 
     def __init__(self, variables, cfg: PGTFormerConfig = RELEASE_PGTFORMER,
                  w: float = 1.0, batch_windows: int = 4,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, io_backend: str = "auto"):
         self.cfg = cfg
         self.w = float(w)
         self.batch = batch_windows
         self.model = PGTFormer(cfg, dtype=dtype)
         self.variables = variables
         self.radius = (cfg.vqvae.tf - 1) // 2
+        self.io_backend = io_backend
+        T = cfg.vqvae.tf
+        B = batch_windows
+        r = self.radius
 
-        def forward(variables, x):
-            """x [B, T, H, W, 3] in [0,1] -> restored middle frames
-            [B, H, W, 3] uint8 (clamp + scale on device)."""
+        # window i covers frames [i, i+T) of concat(tail(2r), new(B))
+        win_idx = np.stack([np.arange(i, i + T) for i in range(B)])
+
+        def step(variables, tail_u8, new_u8):
+            """tail [2r, H, W, 3]u8 + new [B, H, W, 3]u8 ->
+            (restored middles [B, H, W, 3]u8, new tail)."""
+            frames = jnp.concatenate([tail_u8, new_u8], axis=0)
+            windows = frames[jnp.asarray(win_idx)]       # [B, T, H, W, 3]u8
+            x = windows.astype(jnp.float32) / 255.0
             out, _, _ = self.model.apply(variables, x, w=self.w)
-            B, T = x.shape[:2]
-            out = out.reshape(B, T, *out.shape[1:])
-            mid = out[:, T // 2]
-            mid = jnp.clip(mid.astype(jnp.float32), 0.0, 1.0) * 255.0
-            return mid.astype(jnp.uint8)
+            out = out.reshape(B, T, *out.shape[1:])[:, T // 2]
+            out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+            out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
+            return out_u8, frames[-2 * r:] if r else frames[:0]
 
-        self._forward = jax.jit(forward)
+        self._step = jax.jit(step)
+        self._tail = None
 
-    def restore_windows(self, windows_u8: np.ndarray) -> jax.Array:
-        """windows_u8 [B, T, H, W, 3] uint8 -> [B, H, W, 3] uint8 (async)."""
-        x = jnp.asarray(windows_u8, jnp.float32) / 255.0
-        return self._forward(self.variables, x)
+    def reset(self):
+        self._tail = None
+
+    def restore_chunk(self, new_frames_u8: np.ndarray):
+        """new_frames_u8 [B, H, W, 3] uint8 -> [B, H, W, 3] uint8 (async).
+
+        The first chunk must be prefixed by the caller via `prime()`.
+        """
+        out, self._tail = self._step(self.variables, self._tail,
+                                     jnp.asarray(new_frames_u8))
+        return out
+
+    def prime(self, first_frame: np.ndarray):
+        """Initialize the left padding: duplicate the first frame
+        (reference inference.py:41-45)."""
+        t = np.repeat(first_frame[None], 2 * self.radius, axis=0)
+        self._tail = jnp.asarray(t)
 
     def restore_video(self, input_path: str, output_path: str,
                       progress: bool = False) -> dict:
         """Restore a video file; returns timing/throughput stats."""
-        reader = VideoReader(input_path)
-        writer: Optional[VideoWriter] = None
+        reader = _open_reader(input_path, self.io_backend)
+        writer = None
+        B = self.batch
+        r = self.radius
         n_frames = 0
         t0 = time.perf_counter()
-        pending = []  # (device_array,) queue for async overlap
+        pending: List = []  # (device_out, n_valid)
+        self.reset()
 
         def drain(entry):
             nonlocal writer, n_frames
-            frames = np.asarray(entry)   # sync point
-            for f in frames:
+            dev_out, n_valid = entry
+            frames = np.asarray(dev_out)     # sync point
+            for f in frames[:n_valid]:
                 if writer is None:
-                    writer = VideoWriter(output_path, reader.fps,
-                                         f.shape[:2])
+                    writer = _open_writer(output_path, reader.fps,
+                                          f.shape[:2], self.io_backend)
                 writer.write(f)
                 n_frames += 1
 
-        for window_batch in batched(
-                sliding_windows(iter(reader), self.radius), self.batch):
-            arr = np.stack([np.stack(w) for w in window_batch])
-            out = self.restore_windows(arr)       # async dispatch
-            pending.append(out)
-            if len(pending) > 2:                  # keep 2 batches in flight
+        # Alignment: prime() consumes frame 0 into the device tail
+        # ([f0]*2r); after that a chunk of B new frames yields exactly B
+        # valid restored centers.  At stream end the remaining q frames owe
+        # q + r more outputs, produced from last-frame-padded chunks
+        # (matches the reference's first/last duplication padding,
+        # inference.py:41-74).
+        chunk: List[np.ndarray] = []
+        last_frame = None
+
+        def flush(n_valid):
+            out = self.restore_chunk(np.stack(chunk))
+            pending.append((out, n_valid))
+            if len(pending) > 2:
                 drain(pending.pop(0))
+
+        for frame in iter(reader):
+            if last_frame is None:
+                self.prime(frame)
+                last_frame = frame
+                continue
+            last_frame = frame
+            chunk.append(frame)
+            if len(chunk) == B:
+                flush(B)
+                chunk = []
             if progress and n_frames and n_frames % 64 == 0:
                 print(f"  {n_frames} frames...", flush=True)
+
+        if last_frame is None:
+            reader.close()
+            return {"frames": 0, "seconds": 0.0, "fps": 0.0}
+
+        needed = len(chunk) + r
+        while needed > 0:
+            chunk.extend([last_frame] * (B - len(chunk)))
+            n_valid = min(B, needed)
+            flush(n_valid)
+            needed -= n_valid
+            chunk = []
         for entry in pending:
             drain(entry)
         reader.close()

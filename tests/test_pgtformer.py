@@ -133,14 +133,20 @@ def test_pgtformer_full_parity(reference):
 
     np.testing.assert_allclose(np.asarray(lq_feat), lq_ref.numpy(),
                                atol=2e-3, rtol=1e-2)
-    # a handful of argmax flips at near-ties are expected across frameworks
+    # a handful of argmax flips at near-ties are expected across frameworks;
+    # with RANDOM weights AdaIN + the non-contractive decoder amplify them
+    # globally, so the end-to-end pixel comparison uses identical codes.
     codes_ref = logits_ref.argmax(-1).numpy()
     codes = np.asarray(jnp.argmax(logits, axis=-1))
     agreement = (codes == codes_ref).mean()
     assert agreement > 0.995, f"code agreement {agreement}"
-    # output parity: the few flipped codes perturb their 16x16 latent
-    # cells; outside those, the restorations must agree tightly
-    diff = np.abs(_nchw(out) - out_ref.numpy())
-    frac_large = float((diff > 0.05).mean())
-    assert frac_large < 0.02, f"{frac_large:.4f} of pixels differ > 0.05"
-    assert float(np.median(diff)) < 2e-3, f"median diff {np.median(diff)}"
+
+    # force the reference's codes through OUR post-transformer path: this
+    # pins the entire decode (embed -> AdaIN -> fuse-SFT decoder) against
+    # the reference's output, which used those same codes internally
+    out_forced = mod.apply(variables, jnp.asarray(x),
+                           jnp.asarray(codes_ref), w=1.0, adain=True,
+                           method=PGTFormer.restore_from_codes)
+    diff = np.abs(_nchw(out_forced) - out_ref.numpy())
+    assert float(diff.max()) < 2e-2, f"max diff {diff.max()}"
+    assert float(np.median(diff)) < 2e-4, f"median diff {np.median(diff)}"
