@@ -23,7 +23,7 @@ def main():
     from pgtformer_tpu.models.pgtformer import PGTFormer
 
     cfg = RELEASE_PGTFORMER
-    model = PGTFormer(cfg, dtype=jnp.bfloat16)
+    model = PGTFormer(cfg, dtype=jnp.bfloat16, use_pallas=True)
     res = cfg.vqvae.ddconfig.resolution
     T = cfg.vqvae.tf
     B = 4  # sliding windows per step; each yields one output frame

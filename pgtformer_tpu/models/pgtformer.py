@@ -102,15 +102,18 @@ class PGTFormer(nn.Module):
     """
     cfg: PGTFormerConfig
     axis_name: Optional[str] = None
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         cfg = self.cfg
         vq = cfg.vqvae
         self.encoder = Encoder3D(vq.ddconfig, checkpointing=vq.checkpointing,
+                                 use_pallas=self.use_pallas,
                                  dtype=self.dtype)
         self.decoder = Decoder3D(vq.ddconfig, num_frames=vq.tf,
                                  checkpointing=vq.checkpointing,
+                                 use_pallas=self.use_pallas,
                                  dtype=self.dtype)
         self.quantizer = RQBottleneck(
             latent_shape=vq.latent_shape, code_shape=vq.code_shape,

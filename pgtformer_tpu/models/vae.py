@@ -38,6 +38,7 @@ class Encoder3D(nn.Module):
     """
     cfg: DDConfig
     checkpointing: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -69,7 +70,7 @@ class Encoder3D(nn.Module):
                         dim=block_out, depth=cfg.depths[i_level],
                         num_heads=cfg.num_heads[i_level], num_frames=T,
                         window_size=tuple(cfg.window_sizes[i_level]),
-                        mlp_ratio=1.0, dtype=self.dtype,
+                        mlp_ratio=1.0, use_pallas=self.use_pallas, dtype=self.dtype,
                         name=f"down_{i_level}_attn_{i_block}")(h)
             multi_res_feats.append(h)
             if i_level != num_res - 1:
@@ -84,7 +85,7 @@ class Encoder3D(nn.Module):
         h = EncoderLayer(dim=block_in, depth=cfg.depths[-1],
                          num_heads=cfg.num_heads[-1], num_frames=T,
                          window_size=tuple(cfg.window_sizes[-1]),
-                         mlp_ratio=1.0, dtype=self.dtype,
+                         mlp_ratio=1.0, use_pallas=self.use_pallas, dtype=self.dtype,
                          name="mid_attn_1")(h)
         h = maybe_remat(ResnetBlock)(dropout=cfg.dropout, dtype=self.dtype,
                                      name="mid_block_2")(h)
@@ -117,6 +118,7 @@ class Decoder3D(nn.Module):
     num_frames: int = 3
     give_pre_end: bool = False
     checkpointing: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -144,7 +146,7 @@ class Decoder3D(nn.Module):
         h = EncoderLayer(dim=block_in, depth=cfg.depths[-1],
                          num_heads=cfg.num_heads[-1], num_frames=T,
                          window_size=tuple(cfg.window_sizes[-1]),
-                         mlp_ratio=1.0, dtype=self.dtype,
+                         mlp_ratio=1.0, use_pallas=self.use_pallas, dtype=self.dtype,
                          name="mid_attn_1")(h)
         h = maybe_remat(ResnetBlock)(dropout=cfg.dropout, dtype=self.dtype,
                                      name="mid_block_2")(h)
@@ -163,7 +165,7 @@ class Decoder3D(nn.Module):
                         dim=block_out, depth=cfg.depths[i_level],
                         num_heads=cfg.num_heads[i_level], num_frames=T,
                         window_size=tuple(cfg.window_sizes[i_level]),
-                        mlp_ratio=1.0, dtype=self.dtype,
+                        mlp_ratio=1.0, use_pallas=self.use_pallas, dtype=self.dtype,
                         name=f"up_{i_level}_attn_{i_block}")(h)
             if fuse_fn is not None:
                 h = fuse_fn(curr_res, h)
@@ -192,6 +194,7 @@ class TDCRQVAE3(nn.Module):
     """
     cfg: VQVAEConfig
     axis_name: Optional[str] = None
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -200,9 +203,10 @@ class TDCRQVAE3(nn.Module):
         if cfg.bottleneck_type != "rq":
             raise ValueError("invalid 'bottleneck_type' (must be 'rq')")
         self.encoder = Encoder3D(cfg.ddconfig, checkpointing=cfg.checkpointing,
-                                 dtype=self.dtype)
+                                 use_pallas=self.use_pallas, dtype=self.dtype)
         self.decoder = Decoder3D(cfg.ddconfig, num_frames=cfg.tf,
                                  checkpointing=cfg.checkpointing,
+                                 use_pallas=self.use_pallas,
                                  dtype=self.dtype)
         self.quantizer = RQBottleneck(
             latent_shape=cfg.latent_shape, code_shape=cfg.code_shape,

@@ -298,18 +298,30 @@ class SWTransformerBlock(nn.Module):
 
 class EncoderLayer(nn.Module):
     """Stack of `depth` SW-MSA blocks, alternating shift (0 / window//2)
-    (reference rstt_layers.py:499-575).  I/O: [B, T, H, W, C]."""
+    (reference rstt_layers.py:499-575).  I/O: [B, T, H, W, C].
+
+    With `use_pallas`, inference runs each block through the fused VMEM
+    kernel in ops/pallas_attn.py (same params, bf16 numerics); init and
+    training always use the XLA path.
+    """
     dim: int
     depth: int
     num_heads: int
     num_frames: int
     window_size: Tuple[int, int] = (8, 8)
     mlp_ratio: float = 4.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         half = tuple(w // 2 for w in self.window_size)
+        B, T, H, W, C = x.shape
+        fused_ok = (self.use_pallas and not self.is_initializing()
+                    and H % self.window_size[0] == 0
+                    and W % self.window_size[1] == 0)
+        if fused_ok:
+            return self._fused(x)
         for i in range(self.depth):
             x = SWTransformerBlock(
                 dim=self.dim, num_heads=self.num_heads,
@@ -317,6 +329,33 @@ class EncoderLayer(nn.Module):
                 shift_size=(0, 0) if i % 2 == 0 else half,
                 mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                 name=f"blocks_{i}")(x)
+        return x
+
+    def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        from pgtformer_tpu.ops.pallas_attn import fused_sw_block_tokens
+
+        B, T, H, W, C = x.shape
+        win = self.window_size
+        half = tuple(w // 2 for w in win)
+        nW = (H // win[0]) * (W // win[1])
+        N = T * win[0] * win[1]
+        params = self.variables["params"]
+        idx = relative_position_index(T, T, tuple(win))
+        for i in range(self.depth):
+            shift = (0, 0) if i % 2 == 0 else half
+            p = params[f"blocks_{i}"]
+            table = p["attn1"]["relative_position_bias_table"]
+            bias = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
+            bias = bias.transpose(2, 0, 1)
+            shifted = any(s > 0 for s in shift)
+            mask = (shifted_window_mask(T, H, W, tuple(win), tuple(shift))
+                    if shifted else None)
+            h = jnp.roll(x, (-shift[0], -shift[1]), axis=(2, 3)) if shifted else x
+            tok = window_partition(h, win)
+            tok = fused_sw_block_tokens(tok, p, bias, mask,
+                                        self.num_heads, nW)
+            h = window_reverse(tok.astype(x.dtype), win, B, T, H, W)
+            x = jnp.roll(h, (shift[0], shift[1]), axis=(2, 3)) if shifted else h
         return x
 
 

@@ -102,7 +102,8 @@ def fused_sw_block_tokens(x: jnp.ndarray,
                           mask: Optional[np.ndarray],
                           num_heads: int,
                           n_windows_per_image: int,
-                          wblk: int = 16) -> jnp.ndarray:
+                          wblk: int = 16,
+                          interpret: bool = False) -> jnp.ndarray:
     """Apply the fused block to window tokens.
 
     x: [M, N, C] (M = total windows, N tokens/window); mask [nW, N, N].
@@ -194,5 +195,6 @@ def fused_sw_block_tokens(x: jnp.ndarray,
         in_specs=in_specs,
         out_specs=tok_spec,
         out_shape=jax.ShapeDtypeStruct((M * N, C), x.dtype),
+        interpret=interpret,
     )(*args)
     return out.reshape(M, N, C)

@@ -58,11 +58,17 @@ class VideoRestorer:
 
     def __init__(self, variables, cfg: PGTFormerConfig = RELEASE_PGTFORMER,
                  w: float = 1.0, batch_windows: int = 4,
-                 dtype=jnp.bfloat16, io_backend: str = "auto"):
+                 dtype=jnp.bfloat16, io_backend: str = "auto",
+                 use_pallas: Optional[bool] = None):
+        if use_pallas is None:
+            # fused kernels on TPU; XLA path elsewhere (pallas interpret on
+            # CPU would be pathologically slow)
+            import jax
+            use_pallas = jax.default_backend() not in ("cpu",)
         self.cfg = cfg
         self.w = float(w)
         self.batch = batch_windows
-        self.model = PGTFormer(cfg, dtype=dtype)
+        self.model = PGTFormer(cfg, dtype=dtype, use_pallas=use_pallas)
         self.variables = variables
         self.radius = (cfg.vqvae.tf - 1) // 2
         self.io_backend = io_backend
@@ -87,15 +93,24 @@ class VideoRestorer:
 
         self._step = jax.jit(step)
         self._tail = None
+        self._first_chunk_s = None
 
     def reset(self):
         self._tail = None
+        self._first_chunk_s = None
 
     def restore_chunk(self, new_frames_u8: np.ndarray):
         """new_frames_u8 [B, H, W, 3] uint8 -> [B, H, W, 3] uint8 (async).
 
         The first chunk must be prefixed by the caller via `prime()`.
         """
+        if self._first_chunk_s is None:
+            t0 = time.perf_counter()
+            out, self._tail = self._step(self.variables, self._tail,
+                                         jnp.asarray(new_frames_u8))
+            np.asarray(out[0, 0, 0, :1])   # include compile in startup time
+            self._first_chunk_s = time.perf_counter() - t0
+            return out
         out, self._tail = self._step(self.variables, self._tail,
                                      jnp.asarray(new_frames_u8))
         return out
@@ -154,7 +169,8 @@ class VideoRestorer:
             if len(chunk) == B:
                 flush(B)
                 chunk = []
-            if progress and n_frames and n_frames % 64 == 0:
+            if progress and n_frames and len(chunk) == 1 and \
+                    n_frames % 64 < B:
                 print(f"  {n_frames} frames...", flush=True)
 
         if last_frame is None:
@@ -174,5 +190,9 @@ class VideoRestorer:
         if writer is not None:
             writer.close()
         dt = time.perf_counter() - t0
+        steady = dt - self._first_chunk_s if self._first_chunk_s else dt
+        steady_frames = max(n_frames - B, 0)
         return {"frames": n_frames, "seconds": dt,
-                "fps": n_frames / dt if dt > 0 else 0.0}
+                "fps": n_frames / dt if dt > 0 else 0.0,
+                "compile_seconds": self._first_chunk_s,
+                "steady_fps": steady_frames / steady if steady > 0 else 0.0}

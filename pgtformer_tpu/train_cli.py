@@ -1,0 +1,153 @@
+"""Training CLI — the `python basicsr/train.py -opt <yml>` analog.
+
+Reads a reference-style option YAML (the files under the reference's
+options/ load unmodified), builds the stage trainer + dataset + loop:
+
+    python -m pgtformer_tpu.train_cli -opt options/release_train_stage_I_need_align_version.yml \
+        --data-root /data/vfhq --exp-dir exp/stage1 [--stage I]
+
+The YAML's s3/private-backend dataset paths are overridden by --data-root
+(the reference's storage client is private; see data/vfhq.py for the local
+layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_from_options(opt: dict, stage: str, data_root: str,
+                       mesh=None, lpips_fn=None):
+    import jax.numpy as jnp
+    from pgtformer_tpu.config import (
+        vqvae_config_from_options, pgtformer_config_from_options)
+    from pgtformer_tpu.train.stages import (
+        Stage1Trainer, PGTFormerTrainer, StageHyper, STAGE_HYPERS)
+
+    tr = opt.get("train", {})
+    base = STAGE_HYPERS[stage]
+    hp = StageHyper(**{
+        **base.__dict__,
+        "lr_g": float(tr.get("optim_g", {}).get("lr", base.lr_g)),
+        "lr_d": float(tr.get("optim_d", {}).get("lr", base.lr_d)),
+        "milestones": tuple(int(m) for m in
+                            tr.get("scheduler", {}).get("milestones",
+                                                        base.milestones)),
+        "gamma": float(tr.get("scheduler", {}).get("gamma", base.gamma)),
+        "warmup_iter": int(tr.get("warmup_iter", base.warmup_iter)),
+        "total_iter": int(tr.get("total_iter", base.total_iter)),
+        "ema_decay": float(tr.get("ema_decay", base.ema_decay)),
+        "gan_start_iter": int(tr.get("gan_start_iter", base.gan_start_iter)),
+        "gan_weight": float(tr.get("gan_opt", {}).get("loss_weight",
+                                                      base.gan_weight)),
+    })
+
+    if stage == "I":
+        cfg = vqvae_config_from_options(opt, network_key="network_g")
+        trainer = Stage1Trainer(cfg, hp, lpips_fn=lpips_fn, mesh=mesh)
+    else:
+        cfg = pgtformer_config_from_options(opt, network_key="network_g")
+        trainer = PGTFormerTrainer(cfg, stage=stage, hp=hp,
+                                   lpips_fn=lpips_fn, mesh=mesh)
+    return trainer, hp
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="pgtformer_tpu trainer")
+    parser.add_argument("-opt", "--options", required=True,
+                        help="reference-style option YAML")
+    parser.add_argument("--data-root", required=True,
+                        help="VFHQ dataset root (see data/vfhq.py layout)")
+    parser.add_argument("--exp-dir", default=None)
+    parser.add_argument("--stage", default=None,
+                        choices=["I", "II", "III", "IV"],
+                        help="override stage detection from the YAML name")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--teacher-ckpt", default=None,
+                        help="stage II+: torch/orbax stage-I checkpoint")
+    parser.add_argument("--no-lpips", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from pgtformer_tpu.config import load_options
+    from pgtformer_tpu.parallel.mesh import make_mesh, shard_batch
+    from pgtformer_tpu.data.vfhq import VFHQTrainDataset, clip_batches
+    from pgtformer_tpu.train.trainer import Trainer, epoch_repeat
+    from pgtformer_tpu.train.lpips import make_lpips_fn
+    from pgtformer_tpu.models.vae import TDCRQVAE3
+
+    opt = load_options(args.options)
+    stage = args.stage
+    if stage is None:
+        name = args.options
+        stage = ("I" if "stage_I_" in name or "stage_I." in name else
+                 "II" if "stage_II_" in name else
+                 "III" if "stage_III" in name else "IV")
+    exp_dir = args.exp_dir or f"exp/{opt.get('name', 'run')}"
+
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    lpips_fn = None if args.no_lpips else make_lpips_fn()
+    trainer, hp = build_from_options(opt, stage, args.data_root, mesh=mesh,
+                                     lpips_fn=lpips_fn)
+
+    ds_opt = opt.get("datasets", {}).get("train", {})
+    batch_per_dev = args.batch_size or int(
+        ds_opt.get("batch_size_per_gpu", 1))
+    batch = batch_per_dev * max(n_dev, 1)
+    dataset = VFHQTrainDataset(
+        args.data_root, r=int(ds_opt.get("r", 1)),
+        is_aligned=bool(ds_opt.get("is_aligned", False)),
+        degradation=str(ds_opt.get("degradation", "blr")),
+        use_hflip=bool(ds_opt.get("use_hflip", True)))
+
+    rng = jax.random.PRNGKey(int(opt.get("manual_seed", 0)))
+    sample = dataset[0]
+
+    def iter_batches():
+        for b in clip_batches(dataset, batch, shuffle=True):
+            if stage == "I":
+                out = b["gt"]
+            else:
+                out = {"lq": b["lq"], "gt": b["gt"]}
+            yield shard_batch(out, mesh) if mesh else out
+
+    if stage == "I":
+        state = trainer.init_state(rng, sample["gt"][None][: 1].repeat(
+            batch, axis=0))
+    else:
+        teacher = TDCRQVAE3(trainer.cfg.vqvae)
+        if args.teacher_ckpt:
+            from pgtformer_tpu.convert.torch_port import (
+                load_torch_checkpoint, port_torch_state_dict)
+            sample_x = jnp.asarray(sample["gt"][None])
+            shapes = jax.eval_shape(
+                lambda: teacher.init({"params": jax.random.PRNGKey(0)},
+                                     sample_x))
+            zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+            t_vars = port_torch_state_dict(
+                zeros, load_torch_checkpoint(args.teacher_ckpt))
+        else:
+            print("WARNING: stage %s without --teacher-ckpt: random teacher"
+                  % stage, file=sys.stderr)
+            t_vars = teacher.init({"params": jax.random.PRNGKey(7)},
+                                  jnp.asarray(sample["gt"][None]))
+        state = trainer.init_state(
+            rng, jnp.asarray(np.repeat(sample["lq"][None], batch, axis=0)),
+            t_vars)
+
+    loop = Trainer(trainer, exp_dir,
+                   print_freq=int(opt.get("logger", {}).get("print_freq", 100)),
+                   save_checkpoint_freq=int(float(
+                       opt.get("logger", {}).get("save_checkpoint_freq", 1e4))),
+                   val_freq=int(float(opt.get("val", {}).get("val_freq", 2e4))))
+    loop.fit(state, epoch_repeat(iter_batches), total_iter=hp.total_iter)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

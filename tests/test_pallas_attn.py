@@ -1,0 +1,81 @@
+"""Fused Pallas SW-block kernel vs the XLA path (interpreter mode on CPU;
+the same kernel runs compiled on TPU — see bench notes)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pgtformer_tpu.nn.blocks import SWTransformerBlock
+from pgtformer_tpu.ops.window import (
+    window_partition, window_reverse, shifted_window_mask,
+    relative_position_index)
+from pgtformer_tpu.ops.pallas_attn import fused_sw_block_tokens
+
+
+@pytest.mark.parametrize("C,heads,shift", [
+    (256, 8, (0, 0)),   # hd=32, unshifted
+    (256, 8, (2, 2)),   # hd=32, shifted+masked
+    (512, 8, (2, 2)),   # hd=64 -> lane-padded path
+])
+def test_fused_block_matches_xla(C, heads, shift):
+    B, T, H, W = 2, 3, 16, 16
+    win = (4, 4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, H, W, C)).astype(np.float32))
+    blk = SWTransformerBlock(dim=C, num_heads=heads, num_frames=T,
+                             window_size=win, shift_size=shift,
+                             mlp_ratio=1.0)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(blk.apply(v, x))
+
+    N = T * win[0] * win[1]
+    idx = relative_position_index(T, T, win)
+    table = np.asarray(v["params"]["attn1"]["relative_position_bias_table"])
+    bias = jnp.asarray(table[idx.reshape(-1)].reshape(N, N, heads)
+                       .transpose(2, 0, 1))
+    nW = (H // win[0]) * (W // win[1])
+    shifted = any(s > 0 for s in shift)
+    mask = shifted_window_mask(T, H, W, win, shift) if shifted else None
+
+    h = jnp.roll(x, (-shift[0], -shift[1]), axis=(2, 3)) if shifted else x
+    tok = window_partition(h, win)
+    out_tok = fused_sw_block_tokens(tok, v["params"], bias, mask, heads, nW,
+                                    interpret=True)
+    out = window_reverse(out_tok.astype(x.dtype), win, B, T, H, W)
+    if shifted:
+        out = jnp.roll(out, (shift[0], shift[1]), axis=(2, 3))
+
+    d = np.abs(np.asarray(out) - ref)
+    # kernel computes in bf16; tolerance is bf16-scale
+    assert d.max() < 0.08, d.max()
+    assert d.mean() < 0.01, d.mean()
+
+
+def test_encoder_layer_pallas_flag_cpu_interpret(monkeypatch):
+    """EncoderLayer(use_pallas=True) == EncoderLayer(use_pallas=False)
+    via the interpreter (patches the kernel entry to interpret mode)."""
+    import pgtformer_tpu.ops.pallas_attn as pa
+    from pgtformer_tpu.nn.blocks import EncoderLayer
+
+    orig = pa.fused_sw_block_tokens
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pa, "fused_sw_block_tokens", interp)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 3, 16, 16, 256)).astype(np.float32))
+    ref_layer = EncoderLayer(dim=256, depth=2, num_heads=8, num_frames=3,
+                             window_size=(4, 4), mlp_ratio=1.0)
+    v = ref_layer.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_layer.apply(v, x))
+
+    fused_layer = EncoderLayer(dim=256, depth=2, num_heads=8, num_frames=3,
+                               window_size=(4, 4), mlp_ratio=1.0,
+                               use_pallas=True)
+    out = np.asarray(fused_layer.apply(v, x))
+    d = np.abs(out - ref)
+    assert d.max() < 0.1 and d.mean() < 0.01
