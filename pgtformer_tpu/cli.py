@@ -53,6 +53,10 @@ def main(argv=None):
                         help="Sliding windows per device step")
     parser.add_argument("--fp32", action="store_true",
                         help="Compute in float32 (default bfloat16)")
+    parser.add_argument("--dump-frames", type=str, default=None,
+                        help="Also dump restored frames as PNGs into this "
+                             "directory (reference easy_inference_in_windows"
+                             ".py workflow)")
     args = parser.parse_args(argv)
 
     from pgtformer_tpu.config import RELEASE_PGTFORMER
@@ -68,10 +72,21 @@ def main(argv=None):
 
     restorer = VideoRestorer(variables, cfg, w=args.fidelity,
                              batch_windows=args.batch, dtype=dtype)
+    frame_cb = None
+    if args.dump_frames:
+        import os
+        import cv2
+        os.makedirs(args.dump_frames, exist_ok=True)
+
+        def frame_cb(i, rgb):
+            cv2.imwrite(os.path.join(args.dump_frames, f"{i:08d}.png"),
+                        rgb[..., ::-1])
+
     stats = restorer.restore_video(args.input_video, args.output_video,
-                                   progress=True)
+                                   progress=True, frame_callback=frame_cb)
     print(f"restored {stats['frames']} frames in {stats['seconds']:.1f}s "
-          f"({stats['fps']:.2f} fps)")
+          f"({stats['fps']:.2f} fps; steady {stats['steady_fps']:.2f} fps, "
+          f"startup {stats['compile_seconds']:.1f}s)")
     return 0
 
 

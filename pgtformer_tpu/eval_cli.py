@@ -1,0 +1,121 @@
+"""Evaluation CLI — VFHQ-Test metrics (the reference's `val:` loop,
+options/...yml:148-175: PSNR/SSIM/LPIPS(/NIQE) over the test split).
+
+    python -m pgtformer_tpu.eval_cli --data-root /data/vfhq \
+        --weights pgtformer-base.pth [--rotate] [--inter-space 10] \
+        [--save-dir exp/val_imgs] [--niqe-params niqe_pris_params.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="pgtformer_tpu evaluation")
+    parser.add_argument("--data-root", required=True)
+    parser.add_argument("--weights", default=None)
+    parser.add_argument("--fidelity", "-w", type=float, default=1.0)
+    parser.add_argument("--inter-space", type=int, default=1,
+                        help="evaluate every k-th frame (reference "
+                             "V2TESTUP inter_space)")
+    parser.add_argument("--rotate", action="store_true",
+                        help="±30° rotation robustness eval "
+                             "(reference V2TESTUPROTATE)")
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--niqe-params", default=None)
+    parser.add_argument("--fp32", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from pgtformer_tpu.config import RELEASE_PGTFORMER
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+    from pgtformer_tpu.cli import load_variables
+    from pgtformer_tpu.data.vfhq import (
+        VFHQTestDataset, VFHQRotateTestDataset, clip_batches)
+    from pgtformer_tpu.eval.metrics import (
+        calculate_psnr, calculate_ssim, calculate_lpips_fn)
+
+    cfg = RELEASE_PGTFORMER
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    model = PGTFormer(cfg, dtype=dtype,
+                      use_pallas=jax.default_backend() != "cpu")
+    res = cfg.vqvae.ddconfig.resolution
+    T = cfg.vqvae.tf
+    variables = load_variables(model, cfg, args.weights,
+                               (1, T, res, res, 3), dtype)
+
+    ds_cls = VFHQRotateTestDataset if args.rotate else VFHQTestDataset
+    dataset = ds_cls(args.data_root, r=(T - 1) // 2, degradation="blr",
+                     inter_space=args.inter_space)
+
+    @jax.jit
+    def forward(variables, lq):
+        out, _, _ = model.apply(variables, lq, w=args.fidelity)
+        B = lq.shape[0]
+        out = out.reshape(B, T, *out.shape[1:])[:, T // 2]
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+
+    lpips_metric = calculate_lpips_fn()
+    niqe_fn = None
+    if args.niqe_params:
+        from pgtformer_tpu.eval.niqe import calculate_niqe
+        niqe_fn = lambda img: calculate_niqe(img, args.niqe_params)
+
+    rows = []
+    n = 0
+    for batch in clip_batches(dataset, args.batch, drop_last=False):
+        lq = jnp.asarray(batch["lq"])
+        if lq.shape[0] != args.batch:  # avoid a recompile for the tail
+            for i in range(lq.shape[0]):
+                rows_batch = forward(
+                    variables, jnp.repeat(lq[i:i + 1], args.batch, 0))
+                out_i = np.asarray(rows_batch)[0]
+                _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn,
+                            args, T)
+                n += 1
+        else:
+            outs = np.asarray(forward(variables, lq))
+            for i, out_i in enumerate(outs):
+                _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn,
+                            args, T)
+                n += 1
+        if args.limit and n >= args.limit:
+            break
+
+    if not rows:
+        print("no samples evaluated", file=sys.stderr)
+        return 1
+    keys = rows[0].keys()
+    print("samples:", len(rows))
+    for k in keys:
+        vals = [r[k] for r in rows]
+        print(f"{k}: {np.mean(vals):.4f}")
+    return 0
+
+
+def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T):
+    import cv2
+    gt = batch["gt"][i][T // 2]
+    row = {"psnr": calculate_psnr(out_i, gt),
+           "ssim": calculate_ssim(out_i, gt),
+           "lpips": lpips_metric(out_i, gt)}
+    if niqe_fn is not None:
+        row["niqe"] = niqe_fn(out_i)
+    rows.append(row)
+    if args.save_dir:
+        import os
+        os.makedirs(args.save_dir, exist_ok=True)
+        name = batch["path"][i].replace("/", "_")
+        cv2.imwrite(os.path.join(args.save_dir, name),
+                    (out_i[..., ::-1] * 255).astype(np.uint8))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -186,6 +186,7 @@ class BasicLayer3D(nn.Module):
     window_size: Tuple[int, int, int] = (1, 7, 7)
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
+    downsample: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -198,4 +199,78 @@ class BasicLayer3D(nn.Module):
                 shift_size=(0, 0, 0) if i % 2 == 0 else half,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 dtype=self.dtype, name=f"blocks_{i}")(x)
+        if self.downsample:
+            x = PatchMerging3D(dim=self.dim, dtype=self.dtype,
+                               name="downsample")(x)
         return x
+
+
+class PatchMerging3D(nn.Module):
+    """2x2 spatial patch merging (reference swin.py:279-309)."""
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, D, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, :, 0::2, 0::2]
+        x1 = x[:, :, 1::2, 0::2]
+        x2 = x[:, :, 0::2, 1::2]
+        x3 = x[:, :, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
+class PatchEmbed3D(nn.Module):
+    """Video-to-patch embedding via strided 3D conv
+    (reference swin.py:412-...).  I/O [B, T, H, W, C] -> patch tokens."""
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 96
+    use_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pd, ph, pw = self.patch_size
+        B, D, H, W, C = x.shape
+        pads = ((0, (-D) % pd), (0, (-H) % ph), (0, (-W) % pw))
+        if any(p[1] for p in pads):
+            x = jnp.pad(x, ((0, 0), *pads, (0, 0)))
+        x = nn.Conv(self.embed_dim, (pd, ph, pw), strides=(pd, ph, pw),
+                    padding="VALID", dtype=self.dtype, name="proj")(x)
+        if self.use_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class SwinTransformer3D(nn.Module):
+    """Video Swin trunk: PatchEmbed3D + staged BasicLayer3D pyramid
+    (reference swin.py SwinTransformer3D; only `BasicLayer` is consumed by
+    the deployed models — kept for component parity)."""
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: Tuple[int, int, int] = (2, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = PatchEmbed3D(self.patch_size, self.embed_dim, use_norm=True,
+                         dtype=self.dtype, name="patch_embed")(x)
+        n = len(self.depths)
+        for i in range(n):
+            x = BasicLayer3D(
+                dim=int(self.embed_dim * 2 ** i), depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=tuple(self.window_size),
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                downsample=i < n - 1, dtype=self.dtype,
+                name=f"layers_{i}")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)

@@ -63,6 +63,67 @@ class MultiHeadSelfAttention(nn.Module):
         return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
 
 
+class PositionEmbeddingSine(nn.Module):
+    """Sinusoidal 2D positional embedding (reference codeformer_arch.py:49-89;
+    defined-but-unused there, kept for component parity).
+    I/O: [N, H, W, C] -> [N, H, W, 2*num_pos_feats]."""
+    num_pos_feats: int = 64
+    temperature: float = 10000.0
+    normalize: bool = False
+    scale: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import numpy as np
+        N, H, W, _ = x.shape
+        scale = self.scale or (2 * np.pi)
+        y_embed = np.cumsum(np.ones((H, W), np.float32), axis=0)
+        x_embed = np.cumsum(np.ones((H, W), np.float32), axis=1)
+        if self.normalize:
+            eps = 1e-6
+            y_embed = y_embed / (y_embed[-1:, :] + eps) * scale
+            x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
+        dim_t = np.arange(self.num_pos_feats, dtype=np.float32)
+        dim_t = self.temperature ** (2 * (dim_t // 2) / self.num_pos_feats)
+        pos_x = x_embed[..., None] / dim_t
+        pos_y = y_embed[..., None] / dim_t
+        pos_x = np.stack([np.sin(pos_x[..., 0::2]),
+                          np.cos(pos_x[..., 1::2])], -1).reshape(H, W, -1)
+        pos_y = np.stack([np.sin(pos_y[..., 0::2]),
+                          np.cos(pos_y[..., 1::2])], -1).reshape(H, W, -1)
+        pos = np.concatenate([pos_y, pos_x], axis=-1)
+        return jnp.broadcast_to(jnp.asarray(pos, x.dtype), (N, H, W,
+                                                            pos.shape[-1]))
+
+
+class TransformerCALayer(nn.Module):
+    """Pre-norm cross-attention layer with weighted residual (reference
+    codeformer_arch.py:141-183; unused by the deployed model)."""
+    embed_dim: int
+    nhead: int = 8
+    dim_mlp: int = 2048
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgta: jnp.ndarray, tgtb: jnp.ndarray, w: float = 1.0,
+                 query_pos: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        a = norm1(tgta)
+        b = norm1(tgtb)
+        q = a if query_pos is None else a + query_pos
+        k = b if query_pos is None else b + query_pos
+        attn_out = MultiHeadSelfAttention(
+            embed_dim=self.embed_dim, num_heads=self.nhead, dtype=self.dtype,
+            name="self_attn")(q, k, b)
+        tgt = tgta + attn_out * w
+
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        x = nn.Dense(self.dim_mlp, dtype=self.dtype, name="linear1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear2")(x)
+        return tgt + x
+
+
 class TransformerSALayer(nn.Module):
     """Pre-norm self-attention layer with positional query injection
     (reference codeformer_arch.py:102-137; gelu FFN, q=k=x+pos, v=x)."""

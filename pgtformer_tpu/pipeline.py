@@ -59,7 +59,10 @@ class VideoRestorer:
     def __init__(self, variables, cfg: PGTFormerConfig = RELEASE_PGTFORMER,
                  w: float = 1.0, batch_windows: int = 4,
                  dtype=jnp.bfloat16, io_backend: str = "auto",
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — windows
+        are sharded over it for multi-chip serving (batch_windows must be a
+        multiple of the axis size)."""
         if use_pallas is None:
             # fused kernels on TPU; XLA path elsewhere (pallas interpret on
             # CPU would be pathologically slow)
@@ -91,7 +94,31 @@ class VideoRestorer:
             out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
             return out_u8, frames[-2 * r:] if r else frames[:0]
 
-        self._step = jax.jit(step)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert B % mesh.shape["data"] == 0, (
+                "batch_windows must divide over the data axis")
+            rep = NamedSharding(mesh, P())
+
+            # replicate params; shard the window batch inside the step by
+            # constraining the gathered windows
+            def step_sharded(variables, tail_u8, new_u8):
+                frames = jnp.concatenate([tail_u8, new_u8], axis=0)
+                windows = frames[jnp.asarray(win_idx)]
+                windows = jax.lax.with_sharding_constraint(
+                    windows, NamedSharding(mesh, P("data")))
+                x = windows.astype(jnp.float32) / 255.0
+                out, _, _ = self.model.apply(variables, x, w=self.w)
+                out = out.reshape(B, T, *out.shape[1:])[:, T // 2]
+                out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+                out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
+                return out_u8, frames[-2 * r:] if r else frames[:0]
+
+            self.variables = jax.device_put(variables, rep)
+            self._step = jax.jit(step_sharded,
+                                 out_shardings=(rep, rep))
+        else:
+            self._step = jax.jit(step)
         self._tail = None
         self._first_chunk_s = None
 
@@ -122,8 +149,10 @@ class VideoRestorer:
         self._tail = jnp.asarray(t)
 
     def restore_video(self, input_path: str, output_path: str,
-                      progress: bool = False) -> dict:
-        """Restore a video file; returns timing/throughput stats."""
+                      progress: bool = False,
+                      frame_callback=None) -> dict:
+        """Restore a video file; returns timing/throughput stats.
+        `frame_callback(index, rgb_u8)` is invoked per restored frame."""
         reader = _open_reader(input_path, self.io_backend)
         writer = None
         B = self.batch
@@ -142,6 +171,8 @@ class VideoRestorer:
                     writer = _open_writer(output_path, reader.fps,
                                           f.shape[:2], self.io_backend)
                 writer.write(f)
+                if frame_callback is not None:
+                    frame_callback(n_frames, f)
                 n_frames += 1
 
         # Alignment: prime() consumes frame 0 into the device tail

@@ -45,6 +45,42 @@ def test_video_restorer_end_to_end(small_video, tmp_path):
     cap.release()
 
 
+def test_video_restorer_multichip_matches_single(small_video, tmp_path):
+    """8-device data-parallel serving == single-device restoration."""
+    import jax
+    from pgtformer_tpu.pipeline import VideoRestorer
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+    from pgtformer_tpu.parallel.mesh import make_mesh
+    import cv2
+
+    model = PGTFormer(SMALL_PGT)
+    x = jnp.zeros((1, 3, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, w=1.0)
+
+    out_a = str(tmp_path / "single.mp4")
+    out_b = str(tmp_path / "mesh.mp4")
+    VideoRestorer(variables, SMALL_PGT, batch_windows=8,
+                  dtype=jnp.float32).restore_video(small_video, out_a)
+    mesh = make_mesh(8)
+    VideoRestorer(variables, SMALL_PGT, batch_windows=8, dtype=jnp.float32,
+                  mesh=mesh).restore_video(small_video, out_b)
+
+    def read_all(p):
+        cap = cv2.VideoCapture(p)
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f)
+        return np.stack(frames)
+
+    fa, fb = read_all(out_a), read_all(out_b)
+    assert fa.shape == fb.shape
+    # lossy codec in the way: compare loosely but element-aligned
+    assert np.mean(np.abs(fa.astype(int) - fb.astype(int))) < 2.0
+
+
 def test_trainer_loop_checkpoint_resume(tmp_path):
     from pgtformer_tpu.train.stages import Stage1Trainer
     from pgtformer_tpu.train.trainer import Trainer
