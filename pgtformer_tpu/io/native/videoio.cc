@@ -205,6 +205,9 @@ void* vw_open(const char* path, int w, int h, double fps) {
   if (enc->id == AV_CODEC_ID_H264) {
     av_opt_set(wr->codec->priv_data, "crf", "18", 0);
     av_opt_set(wr->codec->priv_data, "preset", "fast", 0);
+    // no B-frames: streaming-friendly and avoids the mp4 edit-list
+    // last-frame drop some demuxers exhibit with reordered streams
+    wr->codec->max_b_frames = 0;
   } else {
     wr->codec->bit_rate = (int64_t)w * h * 8;  // generous for mpeg4
   }
@@ -246,6 +249,12 @@ static void write_pkt(Writer* wr) {
   while (avcodec_receive_packet(wr->codec, pkt) >= 0) {
     av_packet_rescale_ts(pkt, wr->codec->time_base, wr->stream->time_base);
     pkt->stream_index = wr->stream->index;
+    if (pkt->duration == 0) {
+      // without a duration the mov muxer writes an edit list that trims
+      // the final sample from playback
+      pkt->duration =
+          av_rescale_q(1, wr->codec->time_base, wr->stream->time_base);
+    }
     av_interleaved_write_frame(wr->fmt, pkt);
     av_packet_unref(pkt);
   }
