@@ -71,6 +71,10 @@ class StageHyper:
     perceptual: str = "lpips"       # "lpips" | "temporal_lpips" | "none"
     tgrad_weight: float = 0.8
     use_gan: bool = True
+    # "fixed": constant gan_weight; "adaptive": taming-style last-layer
+    # gradient-norm ratio (reference exposes get_last_layer for this —
+    # pgtformer_arch.py:592-596); costs two extra short backward passes
+    gan_weight_mode: str = "fixed"
 
 
 STAGE_HYPERS = {
@@ -121,18 +125,30 @@ def trainable_mask(params, frozen_top_level: Sequence[str]):
     return mark(unfreeze(params) if hasattr(params, "keys") else params, False)
 
 
-def _output_grad_adaptive_weight(recon_grad_out, gan_grad_out,
-                                 max_weight=1e4):
-    """Adaptive GAN weight from output-space gradients.
+def _replace_leaf(params, path: Tuple[str, ...], value):
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(unfreeze(params))
+    flat[path] = value
+    return traverse_util.unflatten_dict(flat)
 
-    The taming recipe uses last-layer *parameter* gradients
-    (reference exposes `get_last_layer`, pgtformer_arch.py:592-596); the
-    output-gradient ratio is the same quantity up to the shared linear map
-    of the final conv and costs one cheap vjp through the losses instead of
-    a backward through the generator.
-    """
-    n = jnp.linalg.norm(recon_grad_out.astype(jnp.float32))
-    g = jnp.linalg.norm(gan_grad_out.astype(jnp.float32))
+
+def _get_leaf(params, path: Tuple[str, ...]):
+    node = params
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _adaptive_gan_weight(nll_of_kernel, gan_of_kernel, kernel,
+                         max_weight=1e4):
+    """taming's calculate_adaptive_weight: ||d nll / d last_layer|| /
+    ||d g_gan / d last_layer||, computed by differentiating the losses wrt
+    the last layer's kernel only (cotangents flow just through the model
+    tail + loss networks; XLA CSEs the shared primal forward)."""
+    g_nll = jax.grad(nll_of_kernel)(kernel)
+    g_gan = jax.grad(gan_of_kernel)(kernel)
+    n = jnp.linalg.norm(g_nll.astype(jnp.float32))
+    g = jnp.linalg.norm(g_gan.astype(jnp.float32))
     return jax.lax.stop_gradient(jnp.clip(n / (g + 1e-4), 0.0, max_weight))
 
 
@@ -203,9 +219,38 @@ class Stage1Trainer:
                 d_vars["batch_stats"] = state.d.batch_stats
             fake_logits = self.disc.apply(d_vars, out, train=False)
             l_gan = self.hinge.g_loss(fake_logits)
-            total = nll + gan_on * l_gan
+
+            d_weight = 1.0
+            if hp.gan_weight_mode == "adaptive":
+                # reference get_last_layer(): decoder.conv_out.weight
+                # (tdcrqvae3_arch.py:847-848)
+                path = ("decoder", "conv_out", "kernel")
+
+                def out_of_k(k):
+                    p2 = _replace_leaf(g_params, path, k)
+                    o, _, _ = self.model.apply(
+                        {"params": p2, "codebook": state.g.codebook}, gt)
+                    return o
+
+                def nll_of_k(k):
+                    o = out_of_k(k)
+                    r = L.l1_loss(o, gt_flat)
+                    if self.lpips_fn is not None:
+                        r = r + jnp.mean(self.lpips_fn(o, gt_flat))
+                    return r
+
+                def gan_of_k(k):
+                    return self.hinge.g_loss(
+                        self.disc.apply(d_vars, out_of_k(k), train=False))
+
+                d_weight = _adaptive_gan_weight(
+                    nll_of_k, gan_of_k, _get_leaf(g_params, path))
+
+            total = nll + gan_on * d_weight * l_gan
             metrics = {"l_pix": l_pix, "l_percep": l_percep,
                        "l_quant": quant_loss, "l_g_gan": l_gan}
+            if hp.gan_weight_mode == "adaptive":
+                metrics["d_weight"] = d_weight
             return total, (upd["codebook"], metrics, out)
 
         (g_total, (new_codebook, metrics, out)), g_grads = jax.value_and_grad(
@@ -423,7 +468,37 @@ class PGTFormerTrainer:
                     l_gan = self.hinge.g_loss(fake_logits)
                     gan_on = jnp.asarray(state.step >= hp.gan_start_iter,
                                          jnp.float32)
-                    total = total + gan_on * l_gan
+                    d_weight = 1.0
+                    if hp.gan_weight_mode == "adaptive":
+                        # reference get_last_layer() with frozen decoder:
+                        # last fuse block's encode_enc.conv2
+                        # (pgtformer_arch.py:592-596)
+                        path = (f"fuse_convs_{self.cfg.connect_list[-1]}",
+                                "encode_enc", "conv2", "kernel")
+
+                        def out_of_k(k):
+                            p2 = _replace_leaf(g_params, path, k)
+                            o, _, _ = self.model.apply(
+                                self._student_vars(p2, state), lq,
+                                w=self.cfg.w, detach_16=True,
+                                adain=self.cfg.adain)
+                            return o
+
+                        def nll_of_k(k):
+                            o = out_of_k(k)
+                            r = L.l1_loss(o, gt_flat)
+                            if self.lpips_fn is not None:
+                                r = r + jnp.mean(self.lpips_fn(o, gt_flat))
+                            return r
+
+                        def gan_of_k(k):
+                            return self.hinge.g_loss(self.disc.apply(
+                                d_vars, out_of_k(k), train=False))
+
+                        d_weight = _adaptive_gan_weight(
+                            nll_of_k, gan_of_k, _get_leaf(g_params, path))
+                        metrics["d_weight"] = d_weight
+                    total = total + gan_on * d_weight * l_gan
                     metrics["l_g_gan"] = l_gan
             return total, (metrics, out)
 

@@ -69,6 +69,8 @@ def main(argv=None):
     parser.add_argument("--teacher-ckpt", default=None,
                         help="stage II+: torch/orbax stage-I checkpoint")
     parser.add_argument("--no-lpips", action="store_true")
+    parser.add_argument("--total-iter", type=int, default=None,
+                        help="override the YAML's total_iter (smoke runs)")
     args = parser.parse_args(argv)
 
     import jax
@@ -145,7 +147,8 @@ def main(argv=None):
                    save_checkpoint_freq=int(float(
                        opt.get("logger", {}).get("save_checkpoint_freq", 1e4))),
                    val_freq=int(float(opt.get("val", {}).get("val_freq", 2e4))))
-    loop.fit(state, epoch_repeat(iter_batches), total_iter=hp.total_iter)
+    loop.fit(state, epoch_repeat(iter_batches),
+             total_iter=args.total_iter or hp.total_iter)
     return 0
 
 
