@@ -261,6 +261,24 @@ class TDCRQVAE3(nn.Module):
         z_q = self.quantizer.embed_partial_code(codes, code_idx, decode_type)
         return self.decode(z_q)
 
+    def forward_partial_code(self, x: jnp.ndarray, code_idx: int,
+                             decode_type: str = "select") -> jnp.ndarray:
+        """Reconstruct using the first codebooks only
+        (reference tdcrqvae3_arch.py:865-872)."""
+        codes = self.get_codes(x)
+        return self.decode_partial_code(codes, code_idx, decode_type)
+
+    def get_code_emb_with_depth(self, codes: jnp.ndarray):
+        """Per-depth code embeddings (reference :850-852)."""
+        return self.quantizer.embed_code_with_depth(codes)
+
+    @staticmethod
+    def get_recon_imgs(xs_real: jnp.ndarray, xs_recon: jnp.ndarray):
+        """[-1,1] -> [0,1] display mapping (reference :815-821)."""
+        xs_real = xs_real * 0.5 + 0.5
+        xs_recon = jnp.clip(xs_recon * 0.5 + 0.5, 0.0, 1.0)
+        return xs_real, xs_recon
+
     def compute_loss(self, out, quant_loss, codes, xs, valid: bool = False):
         """Reconstruction + weighted commitment loss
         (reference tdcrqvae3_arch.py:823-845)."""
