@@ -22,7 +22,7 @@ from typing import Any, Dict, Mapping, Tuple
 import numpy as np
 import jax.numpy as jnp
 from flax import traverse_util
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 
 _MODULE_RENAMES = [

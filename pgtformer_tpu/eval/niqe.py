@@ -11,8 +11,6 @@ pass its path to `calculate_niqe`.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
 
 

@@ -14,8 +14,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from pgtformer_tpu.models.vqgan import (
-    VQAutoEncoder, VectorQuantizer, _SeqTower, encoder_specs,
-    generator_specs, ResBlock2D)
+    VectorQuantizer, _SeqTower, encoder_specs, generator_specs, ResBlock2D)
 from pgtformer_tpu.nn.transformer import TransformerSALayer
 from pgtformer_tpu.ops.image import adaptive_instance_normalization
 from pgtformer_tpu.registry import ARCH_REGISTRY

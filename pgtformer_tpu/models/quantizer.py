@@ -19,7 +19,7 @@ TPU-native re-design of the reference quantizer stack
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax

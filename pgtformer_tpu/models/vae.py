@@ -14,7 +14,7 @@ Deployed config (options/release_test_stage_IIII_dont_need_align_version.yml:70-
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ Design deltas vs. the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Tuple
 
 import numpy as np

@@ -5,7 +5,7 @@ model does not consume but the component inventory lists
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

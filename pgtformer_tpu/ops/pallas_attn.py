@@ -18,8 +18,7 @@ VJP); training uses the XLA path.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

@@ -20,7 +20,7 @@ boundary 3x as float32) with:
 from __future__ import annotations
 
 import time
-from typing import Iterator, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import jax

@@ -7,7 +7,7 @@ data/vfhq_full_dataset.py:57) so configs can name components by string.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 
 class Registry:

@@ -14,7 +14,7 @@ All losses are pure functions over channels-last arrays; video losses take
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,16 +22,13 @@ collectives — tdcrqvae3_arch.py:157-171).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 

@@ -11,9 +11,6 @@ from __future__ import annotations
 import time
 from typing import Any, Callable, Iterator, Optional
 
-import numpy as np
-import jax
-
 from pgtformer_tpu.utils.logging import get_root_logger, TBLogger
 from pgtformer_tpu.utils.checkpoint import CheckpointManager
 
