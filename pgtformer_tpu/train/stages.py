@@ -62,6 +62,7 @@ class StageHyper:
     token_weight: float = 0.5
     feat_loss: str = "mse"          # "mse" | "l1"
     feat_weight: float = 1.0
+    feat_target: str = "zq"         # "zq" (teacher quantized) | "ze" (pre-VQ)
     pixel_loss: str = "l1"          # "l1" | "gradl1" | "none"
     pixel_weight: float = 1.0
     lossmulti: Tuple[float, ...] = (0.2, 0.05, 0.05)
@@ -412,7 +413,8 @@ class PGTFormerTrainer:
         t_zq, _, t_codes = self.teacher.apply(
             self.teacher_variables, t_z, method=lambda m, z: m.quantizer(z))
         t_codes = jax.lax.stop_gradient(t_codes)
-        t_zq = jax.lax.stop_gradient(t_zq)
+        t_feat = jax.lax.stop_gradient(
+            t_zq if hp.feat_target == "zq" else t_z)
 
         def g_loss_fn(g_params):
             variables = self._student_vars(g_params, state)
@@ -432,9 +434,11 @@ class PGTFormerTrainer:
                 l_token = L.cross_entropy_loss(logits, t_codes,
                                                loss_weight=hp.token_weight)
             if hp.feat_loss == "l1":
-                l_feat = L.l1_loss(lq_feat, t_zq, loss_weight=hp.feat_weight)
+                l_feat = L.l1_loss(lq_feat, t_feat,
+                                   loss_weight=hp.feat_weight)
             else:
-                l_feat = L.mse_loss(lq_feat, t_zq, loss_weight=hp.feat_weight)
+                l_feat = L.mse_loss(lq_feat, t_feat,
+                                    loss_weight=hp.feat_weight)
             total = l_token + l_feat
             metrics = {"l_token": l_token, "l_feat": l_feat}
 

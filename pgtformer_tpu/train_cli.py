@@ -20,7 +20,7 @@ import numpy as np
 
 
 def build_from_options(opt: dict, stage: str, data_root: str,
-                       mesh=None, lpips_fn=None):
+                       mesh=None, lpips_fn=None, dtype=None):
     import jax.numpy as jnp
     from pgtformer_tpu.config import (
         vqvae_config_from_options, pgtformer_config_from_options)
@@ -45,13 +45,15 @@ def build_from_options(opt: dict, stage: str, data_root: str,
                                                       base.gan_weight)),
     })
 
+    dtype = dtype if dtype is not None else jnp.float32
     if stage == "I":
         cfg = vqvae_config_from_options(opt, network_key="network_g")
-        trainer = Stage1Trainer(cfg, hp, lpips_fn=lpips_fn, mesh=mesh)
+        trainer = Stage1Trainer(cfg, hp, lpips_fn=lpips_fn, mesh=mesh,
+                                dtype=dtype)
     else:
         cfg = pgtformer_config_from_options(opt, network_key="network_g")
         trainer = PGTFormerTrainer(cfg, stage=stage, hp=hp,
-                                   lpips_fn=lpips_fn, mesh=mesh)
+                                   lpips_fn=lpips_fn, mesh=mesh, dtype=dtype)
     return trainer, hp
 
 
@@ -71,6 +73,9 @@ def main(argv=None):
     parser.add_argument("--no-lpips", action="store_true")
     parser.add_argument("--total-iter", type=int, default=None,
                         help="override the YAML's total_iter (smoke runs)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (halves activation memory; "
+                             "needed for full-512 stage III/IV on 16GB chips)")
     args = parser.parse_args(argv)
 
     import jax
@@ -94,8 +99,9 @@ def main(argv=None):
     n_dev = jax.device_count()
     mesh = make_mesh() if n_dev > 1 else None
     lpips_fn = None if args.no_lpips else make_lpips_fn()
-    trainer, hp = build_from_options(opt, stage, args.data_root, mesh=mesh,
-                                     lpips_fn=lpips_fn)
+    trainer, hp = build_from_options(
+        opt, stage, args.data_root, mesh=mesh, lpips_fn=lpips_fn,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
     ds_opt = opt.get("datasets", {}).get("train", {})
     batch_per_dev = args.batch_size or int(
