@@ -26,7 +26,7 @@ def main():
     model = PGTFormer(cfg, dtype=jnp.bfloat16, use_pallas=True)
     res = cfg.vqvae.ddconfig.resolution
     T = cfg.vqvae.tf
-    B = 4  # sliding windows per step; each yields one output frame
+    B = 8  # sliding windows per step; each yields one output frame
 
     shapes = jax.eval_shape(
         lambda: model.init({"params": jax.random.PRNGKey(0)},

@@ -49,7 +49,7 @@ def main(argv=None):
                         help="Reference-format torch checkpoint to port")
     parser.add_argument("--fidelity", "-w", type=float, default=1.0,
                         help="Fidelity knob w (reference model(x, w=...))")
-    parser.add_argument("--batch", type=int, default=4,
+    parser.add_argument("--batch", type=int, default=8,
                         help="Sliding windows per device step")
     parser.add_argument("--fp32", action="store_true",
                         help="Compute in float32 (default bfloat16)")

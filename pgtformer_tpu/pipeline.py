@@ -57,7 +57,7 @@ class VideoRestorer:
     """Batched sliding-window restorer around a PGTFormer checkpoint."""
 
     def __init__(self, variables, cfg: PGTFormerConfig = RELEASE_PGTFORMER,
-                 w: float = 1.0, batch_windows: int = 4,
+                 w: float = 1.0, batch_windows: int = 8,
                  dtype=jnp.bfloat16, io_backend: str = "auto",
                  use_pallas: Optional[bool] = None, mesh=None):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — windows
