@@ -102,6 +102,7 @@ def main(argv=None):
 
 def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T):
     import cv2
+    from pgtformer_tpu.eval.metrics import calculate_psnr, calculate_ssim
     gt = batch["gt"][i][T // 2]
     row = {"psnr": calculate_psnr(out_i, gt),
            "ssim": calculate_ssim(out_i, gt),
