@@ -146,6 +146,27 @@ def port_torch_state_dict(variables: Mapping[str, Any],
     return new_vars
 
 
+def port_subtree(variables: Mapping[str, Any], subtree: str,
+                 state_dict: Mapping[str, np.ndarray],
+                 strict: bool = True) -> Dict[str, Any]:
+    """Port a torch state_dict into one submodule's variables.
+
+    E.g. load a standalone BiSeNet face-parsing checkpoint (the reference's
+    commented-out `weights/facelib/faceparse/79999.pth` path,
+    pgtformer_arch.py:513-516) into `conditionnet`:
+
+        variables = port_subtree(variables, "conditionnet", bisenet_sd)
+    """
+    sub = {col: tree[subtree] for col, tree in variables.items()
+           if isinstance(tree, Mapping) and subtree in tree}
+    ported = port_torch_state_dict(sub, state_dict,
+                                   prefix="", strict=strict)
+    new_vars = unfreeze(variables)
+    for col, tree in ported.items():
+        new_vars[col][subtree] = tree
+    return new_vars
+
+
 def from_pretrained(repo_or_path: str, cfg=None, dtype=None,
                     param_key: str | None = "params_ema"):
     """Build a PGTFormer and fill it from a reference-format checkpoint.
