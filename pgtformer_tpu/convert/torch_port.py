@@ -126,6 +126,13 @@ def port_torch_state_dict(variables: Mapping[str, Any],
         flat = traverse_util.flatten_dict(tree)
         for path, target in flat.items():
             key = prefix + flax_path_to_torch_key(col, tuple(str(p) for p in path))
+            if key not in sd and ".attn." in key:
+                # our SWTransformerBlock always names its self-attention
+                # `attn1`; the reference's encoder block uses `attn` but the
+                # decoder (cross) block keeps `attn1`
+                alt = key.replace(".attn.", ".attn1.")
+                if alt in sd:
+                    key = alt
             if key not in sd:
                 missing.append((col, path, key))
                 continue

@@ -284,12 +284,15 @@ class SWTransformerBlock(nn.Module):
                 dim=C, num_frames_q=T, num_frames_kv=T2, window_size=window,
                 num_heads=self.num_heads, dtype=self.dtype, name="attn2")
             shortcut = x
-            h = nn.LayerNorm(dtype=self.dtype, name="norm_q")(x)
+            # LN names follow the reference decoder block (norm2 for the
+            # cross query, norm_kv, norm3 for the FFN — rstt_layers.py:390-392)
+            h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
             kvn = nn.LayerNorm(dtype=self.dtype, name="norm_kv")(attn_kv)
             h = self._run_windowed(attn2, h, kvn, window, shift, mask_qkv)
             x = shortcut + h
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        ffn_norm = "norm3" if self.cross else "norm2"
+        h = nn.LayerNorm(dtype=self.dtype, name=ffn_norm)(x)
         h = Mlp(hidden_features=int(C * self.mlp_ratio), dtype=self.dtype,
                 name="mlp")(h)
         return x + h
