@@ -34,8 +34,10 @@ def load_variables(model, cfg, weights_path, sample_shape, dtype):
         return port_torch_state_dict(zeros, sd)
     print("WARNING: no --weights given; running with random weights "
           "(pipeline smoke test only).", file=sys.stderr)
-    return model.init({"params": jax.random.PRNGKey(0)},
-                      jnp.zeros(sample_shape, jnp.float32), w=1.0)
+    # jitted init: eager init over the axon tunnel pays ~1ms RPC per op
+    return jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros(sample_shape, jnp.float32), w=1.0))(
+            jax.random.PRNGKey(0))
 
 
 def main(argv=None):
@@ -87,6 +89,10 @@ def main(argv=None):
     print(f"restored {stats['frames']} frames in {stats['seconds']:.1f}s "
           f"({stats['fps']:.2f} fps; steady {stats['steady_fps']:.2f} fps, "
           f"startup {stats['compile_seconds']:.1f}s)")
+    phases = stats.get("phases", {})
+    if phases:
+        parts = [f"{k} {v['total_s']:.1f}s" for k, v in phases.items()]
+        print("phase totals: " + ", ".join(parts))
     return 0
 
 

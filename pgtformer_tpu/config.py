@@ -62,6 +62,19 @@ class DDConfig:
         """Spatial resolution seen by each encoder level (before its downsample)."""
         return tuple(self.resolution // (2 ** i) for i in range(self.num_resolutions))
 
+    @property
+    def first_attn_level(self) -> int:
+        """Index of the first encoder level with temporal window attention.
+
+        Levels before this are strictly per-frame convs (the cacheable
+        "trunk" at inference: reference tdcrqvae3_arch.py:493-501 only adds
+        EncoderLayer attention at `attn_resolutions`, {32,64,128} deployed,
+        so the 512/256 levels never mix frames)."""
+        for i, res in enumerate(self.level_resolutions()):
+            if res in self.attn_resolutions:
+                return i
+        return self.num_resolutions
+
 
 @dataclass(frozen=True)
 class VQVAEConfig:

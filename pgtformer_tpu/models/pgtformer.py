@@ -41,7 +41,13 @@ class FuseSftBlock(nn.Module):
     """Controllable feature transformation with cross-frame temporal fusion
     (reference pgtformer_arch.py:435-484 `Fuse_sft_block`).
 
-    I/O: enc_feat, dec_feat [B, T, H, W, C] -> [B, T, H, W, C].
+    I/O: enc_feat, dec_feat [B, T, H, W, C] -> [B, T, H, W, C]
+    (-> [B, 1, H, W, C] with `middle_only`).
+
+    `middle_only` (inference): the temporal-fusion path still reads every
+    frame (its 1x1 folds are the only frame-mixing ops), but the heavy SFT
+    convs (encode_enc resblock + scale/shift 3x3 heads) run on the kept
+    middle frame only — exact for the middle frame, skips ~2/3 of the cost.
     """
     in_ch: int
     out_ch: int
@@ -51,7 +57,7 @@ class FuseSftBlock(nn.Module):
 
     @nn.compact
     def __call__(self, enc_feat: jnp.ndarray, dec_feat: jnp.ndarray,
-                 w: float = 1.0) -> jnp.ndarray:
+                 w: float = 1.0, middle_only: bool = False) -> jnp.ndarray:
         B, T, H, W, C = enc_feat.shape
         enc = enc_feat.reshape(B * T, H, W, C)
         dec = dec_feat.reshape(B * T, H, W, C)
@@ -71,7 +77,16 @@ class FuseSftBlock(nn.Module):
         fut = nn.Conv(T * self.tcc, (1, 1), dtype=self.dtype,
                       name="tfusion0")(fut)
         fut = fut.reshape(B, H, W, T, self.tcc).transpose(0, 3, 1, 2, 4)
-        fut = fut.reshape(B * T, H, W, self.tcc)
+
+        t_out = T
+        if middle_only:
+            # all remaining ops are per-frame: keep the middle frame only
+            mid = T // 2
+            fut = fut[:, mid:mid + 1]
+            enc = enc_feat[:, mid:mid + 1].reshape(B, H, W, C)
+            dec = dec_feat[:, mid:mid + 1].reshape(B, H, W, C)
+            t_out = 1
+        fut = fut.reshape(B * t_out, H, W, self.tcc)
         fut = nn.Conv(self.tcc, (1, 1), dtype=self.dtype, name="tfusion1")(fut)
 
         feat = ResnetBlock(out_channels=self.out_ch, dtype=self.dtype,
@@ -88,7 +103,7 @@ class FuseSftBlock(nn.Module):
         scale = sft_head("scale")
         shift = sft_head("shift")
         out = dec + w * (dec * scale + shift)
-        return out.reshape(B, T, H, W, self.out_ch)
+        return out.reshape(B, t_out, H, W, self.out_ch)
 
 
 @ARCH_REGISTRY.register()
@@ -171,24 +186,62 @@ class PGTFormer(nn.Module):
 
     def __call__(self, x: jnp.ndarray, w: Optional[float] = None,
                  detach_16: bool = True, code_only: bool = False,
-                 adain: Optional[bool] = None, train: bool = False):
+                 adain: Optional[bool] = None, train: bool = False,
+                 middle_only: bool = False):
+        B, T, H, W, _ = x.shape
+        pos, trunk_h, trunk_feats = self.encode_frames(
+            x.reshape(B * T, H, W, 3))
+        to_win = lambda a: a.reshape(B, T, *a.shape[1:])
+        return self.restore_windows(
+            to_win(pos), to_win(trunk_h),
+            tuple(to_win(f) for f in trunk_feats),
+            w=w, detach_16=detach_16, code_only=code_only, adain=adain,
+            middle_only=middle_only)
+
+    def encode_frames(self, frames: jnp.ndarray):
+        """Per-frame (cacheable) compute: frames [F, H, W, 3] in [0,1] ->
+        (query-pos embedding [F, th, tw, C], encoder-trunk features
+        [F, h', w', C'], per-frame trunk skip features tuple).
+
+        Everything here is strictly per-frame — the BiSeNet prior and the
+        encoder levels before the first attention resolution (reference
+        tdcrqvae3_arch.py:493-501) — so at inference each unique video frame
+        pays this once, not once per overlapping window (kills the 3x
+        sliding-window recompute of reference inference.py:37-74)."""
+        F, H, W, _ = frames.shape
+        nx = imagenet_normalize(frames)
+        cond = self.conditionnet(nx)                     # [F, 32, 32, 57]
+        pos = self.convpos(cond)                         # [F, 32, 32, 512]
+        trunk_h, trunk_feats = self.encoder(frames[None], stage="trunk")
+        squeeze = lambda a: a.reshape(a.shape[1], *a.shape[2:])
+        return (pos, squeeze(trunk_h),
+                tuple(squeeze(f) for f in trunk_feats))
+
+    def restore_windows(self, pos: jnp.ndarray, trunk_h: jnp.ndarray,
+                        trunk_feats, w: Optional[float] = None,
+                        detach_16: bool = True, code_only: bool = False,
+                        adain: Optional[bool] = None,
+                        middle_only: bool = False):
+        """Temporal (per-window) compute over gathered per-frame features
+        (each [B, T, ...] — outputs of `encode_frames` stacked into sliding
+        windows): encoder attention levels, parsing-guided transformer,
+        code prediction, fuse-SFT decode.
+
+        Returns (out, logits, lq_feat); `out` is [B*T, H, W, 3], or the kept
+        middle frames [B, H, W, 3] with `middle_only` (see Decoder3D)."""
         cfg = self.cfg
         if w is None:
             w = cfg.w
         if adain is None:
             adain = cfg.adain
-        B, T, H, W, _ = x.shape
+        B, T = pos.shape[:2]
+        th, tw = pos.shape[2:4]
+        query_pos = pos.reshape(B, T * th * tw, pos.shape[-1])
 
-        # ---- parsing prior -> transformer positional embedding -------------
-        nx = imagenet_normalize(x).reshape(B * T, H, W, 3)
-        cond = self.conditionnet(nx)                     # [B*T, 32, 32, 57]
-        cond = self.convpos(cond)                        # [B*T, 32, 32, 512]
-        th, tw = cond.shape[1:3]
-        # t-major tokens, batch-first: [B, T*th*tw, 512]
-        query_pos = cond.reshape(B, T * th * tw, cond.shape[-1])
-
-        # ---- encoder with multi-resolution feature taps ---------------------
-        z, multi_res_feats = self.encoder(x, return_multi_res_feats=True)
+        # ---- encoder attention levels + multi-resolution feature taps ------
+        z, head_feats = self.encoder(trunk_h, return_multi_res_feats=True,
+                                     stage="head")
+        multi_res_feats = list(trunk_feats) + list(head_feats)
         enc_feat_dict: Dict[str, jnp.ndarray] = {}
         for f_size in cfg.connect_list:
             idx = self.fuse_encoder_indices[f_size]
@@ -212,11 +265,12 @@ class PGTFormer(nn.Module):
         # ---- quantization ----------------------------------------------------
         codes = jnp.argmax(logits, axis=-1)              # [B*T, th, tw, d]
         out = self._decode_restored(codes, lq_feat, enc_feat_dict, w=w,
-                                    detach_16=detach_16, adain=adain)
+                                    detach_16=detach_16, adain=adain,
+                                    middle_only=middle_only)
         return out, logits, lq_feat
 
     def _decode_restored(self, codes, lq_feat, enc_feat_dict, *, w,
-                         detach_16, adain):
+                         detach_16, adain, middle_only: bool = False):
         """Codebook lookup -> (detach/AdaIN) -> fuse-SFT decode."""
         quant_feat = self.quantizer.embed_code(codes)    # [B*T, th, tw, 512]
         if detach_16:
@@ -225,16 +279,22 @@ class PGTFormer(nn.Module):
             quant_feat = adaptive_instance_normalization(quant_feat, lq_feat)
 
         fuse_fn = None
+        fuse_resolutions = ()
         if w > 0:
-            def fuse_fn(resolution: int, h: jnp.ndarray) -> jnp.ndarray:
+            fuse_resolutions = tuple(int(k) for k in self.fuse_convs_dict)
+
+            def fuse_fn(resolution: int, h: jnp.ndarray,
+                        middle_only: bool = False) -> jnp.ndarray:
                 key = str(resolution)
                 if key in self.fuse_convs_dict:
                     enc = jax.lax.stop_gradient(enc_feat_dict[key])
-                    h = self.fuse_convs_dict[key](enc, h, w=w)
+                    h = self.fuse_convs_dict[key](enc, h, w=w,
+                                                  middle_only=middle_only)
                 return h
 
         z_dec = self.post_quant_conv(quant_feat)
-        return self.decoder(z_dec, fuse_fn=fuse_fn)
+        return self.decoder(z_dec, fuse_fn=fuse_fn, middle_only=middle_only,
+                            fuse_resolutions=fuse_resolutions)
 
     def restore_from_codes(self, x: jnp.ndarray, codes: jnp.ndarray,
                            w: Optional[float] = None,

@@ -35,6 +35,16 @@ class Encoder3D(nn.Module):
 
     I/O: [B, T, H, W, C_in] -> [B*T, H/2^L, W/2^L, z_channels]
     (+ per-level features when `return_multi_res_feats`).
+
+    `stage` splits the tower at the first attention level for inference-time
+    caching (the leading levels are strictly per-frame convs, so their
+    features can be computed once per unique video frame and reused across
+    the sliding-window overlap — SURVEY.md §3.1):
+      * "trunk": conv_in + attention-free leading levels;
+        returns (h, trunk_feats).
+      * "head":  input is the trunk's `h`; runs the remaining levels,
+        middle and output convs.
+      * "full":  trunk + head (default; same math as round 1).
     """
     cfg: DDConfig
     checkpointing: bool = False
@@ -42,41 +52,58 @@ class Encoder3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, return_multi_res_feats: bool = False):
+    def __call__(self, x: jnp.ndarray, return_multi_res_feats: bool = False,
+                 stage: str = "full"):
         cfg = self.cfg
-        B, T, H, W, Cin = x.shape
+        assert stage in ("full", "trunk", "head")
         num_res = cfg.num_resolutions
-        in_ch_mult = (1,) + tuple(cfg.ch_mult)
-
-        h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv_in")(x.reshape(B * T, H, W, Cin))
-        h = h.reshape(B, T, H, W, cfg.ch)
+        split = cfg.first_attn_level
 
         def maybe_remat(mod):
             return nn.remat(mod) if self.checkpointing else mod
 
+        def run_levels(h, levels, T):
+            feats: List[jnp.ndarray] = []
+            for i_level in levels:
+                curr_res = cfg.level_resolutions()[i_level]
+                block_out = cfg.ch * cfg.ch_mult[i_level]
+                has_attn = curr_res in cfg.attn_resolutions
+                for i_block in range(cfg.num_res_blocks):
+                    h = maybe_remat(ResnetBlock)(
+                        out_channels=block_out, dropout=cfg.dropout,
+                        dtype=self.dtype,
+                        name=f"down_{i_level}_block_{i_block}")(h)
+                    if has_attn:
+                        h = EncoderLayer(
+                            dim=block_out, depth=cfg.depths[i_level],
+                            num_heads=cfg.num_heads[i_level], num_frames=T,
+                            window_size=tuple(cfg.window_sizes[i_level]),
+                            mlp_ratio=1.0, use_pallas=self.use_pallas,
+                            dtype=self.dtype,
+                            name=f"down_{i_level}_attn_{i_block}")(h)
+                feats.append(h)
+                if i_level != num_res - 1:
+                    h = Downsample(with_conv=cfg.resamp_with_conv,
+                                   dtype=self.dtype,
+                                   name=f"down_{i_level}_downsample")(h)
+            return h, feats
+
         multi_res_feats: List[jnp.ndarray] = []
-        curr_res = cfg.resolution
-        for i_level in range(num_res):
-            block_out = cfg.ch * cfg.ch_mult[i_level]
-            has_attn = curr_res in cfg.attn_resolutions
-            for i_block in range(cfg.num_res_blocks):
-                h = maybe_remat(ResnetBlock)(
-                    out_channels=block_out, dropout=cfg.dropout,
-                    dtype=self.dtype,
-                    name=f"down_{i_level}_block_{i_block}")(h)
-                if has_attn:
-                    h = EncoderLayer(
-                        dim=block_out, depth=cfg.depths[i_level],
-                        num_heads=cfg.num_heads[i_level], num_frames=T,
-                        window_size=tuple(cfg.window_sizes[i_level]),
-                        mlp_ratio=1.0, use_pallas=self.use_pallas, dtype=self.dtype,
-                        name=f"down_{i_level}_attn_{i_block}")(h)
-            multi_res_feats.append(h)
-            if i_level != num_res - 1:
-                h = Downsample(with_conv=cfg.resamp_with_conv, dtype=self.dtype,
-                               name=f"down_{i_level}_downsample")(h)
-                curr_res //= 2
+        if stage in ("full", "trunk"):
+            B, T, H, W, Cin = x.shape
+            h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv_in")(x.reshape(B * T, H, W, Cin))
+            h = h.reshape(B, T, H, W, cfg.ch)
+            h, trunk_feats = run_levels(h, range(split), T)
+            multi_res_feats.extend(trunk_feats)
+            if stage == "trunk":
+                return h, multi_res_feats
+        else:
+            h = x
+            T = h.shape[1]
+
+        h, head_feats = run_levels(h, range(split, num_res), T)
+        multi_res_feats.extend(head_feats)
 
         # middle
         block_in = cfg.ch * cfg.ch_mult[-1]
@@ -108,11 +135,21 @@ class Decoder3D(nn.Module):
 
     I/O: z [B*T, h, w, z_channels] -> [B*T, H, W, out_ch].
 
-    `fuse_fn(resolution, h)` — optional hook called after each level's
-    blocks/attention, *before* its upsample; this is how PGTFormer injects
-    its controllable-feature-transformation skips without re-implementing
-    the decoder loop (reference pgtformer_arch.py:675-710 inlines the whole
-    decoder instead).
+    `fuse_fn(resolution, h, middle_only=False)` — optional hook called after
+    each level's blocks/attention, *before* its upsample; this is how
+    PGTFormer injects its controllable-feature-transformation skips without
+    re-implementing the decoder loop (reference pgtformer_arch.py:675-710
+    inlines the whole decoder instead).
+
+    `middle_only` (inference): produce only the kept middle frame.  Every
+    stage past the last cross-frame op — the last attention level
+    (attn_resolutions, {32,64,128} deployed) or the last fuse block's
+    temporal-fusion path (`fuse_resolutions`) — is strictly per-frame, so
+    the non-middle frames are sliced off there and the most expensive
+    high-resolution levels run on 1 frame instead of T (the reference pays
+    the full T-frame decode and discards T-1 frames — inference.py:15).
+    `fuse_resolutions` must list the resolutions at which `fuse_fn` mixes
+    frames (ignored without `middle_only`).
     """
     cfg: DDConfig
     num_frames: int = 3
@@ -123,7 +160,9 @@ class Decoder3D(nn.Module):
 
     @nn.compact
     def __call__(self, z: jnp.ndarray,
-                 fuse_fn: Optional[Callable[[int, jnp.ndarray], jnp.ndarray]] = None):
+                 fuse_fn: Optional[Callable] = None,
+                 middle_only: bool = False,
+                 fuse_resolutions: Tuple[int, ...] = ()):
         cfg = self.cfg
         T = self.num_frames
         num_res = cfg.num_resolutions
@@ -132,6 +171,21 @@ class Decoder3D(nn.Module):
 
         BT, hh, ww, zc = z.shape
         B = BT // T
+
+        # static slice-point analysis: the last executed level whose stages
+        # need all T frames (attention, or a frame-mixing fuse block)
+        fuse_set = set(fuse_resolutions) if fuse_fn is not None else set()
+        exec_order = list(reversed(range(num_res)))
+        res_at = {}
+        r = curr_res
+        for i in exec_order:
+            res_at[i] = r
+            if i != 0:
+                r *= 2
+        last_na_level = None  # last level (execution order) needing all frames
+        for i in exec_order:
+            if res_at[i] in cfg.attn_resolutions or res_at[i] in fuse_set:
+                last_na_level = i
 
         h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_in")(z)
@@ -151,8 +205,13 @@ class Decoder3D(nn.Module):
         h = maybe_remat(ResnetBlock)(dropout=cfg.dropout, dtype=self.dtype,
                                      name="mid_block_2")(h)
 
+        t_cur = T
+        if middle_only and last_na_level is None:
+            h = h[:, T // 2:T // 2 + 1]
+            t_cur = 1
+
         # upsampling
-        for i_level in reversed(range(num_res)):
+        for i_level in exec_order:
             block_out = cfg.ch * cfg.ch_mult[i_level]
             has_attn = curr_res in cfg.attn_resolutions
             for i_block in range(cfg.num_res_blocks + 1):
@@ -163,12 +222,21 @@ class Decoder3D(nn.Module):
                 if has_attn:
                     h = EncoderLayer(
                         dim=block_out, depth=cfg.depths[i_level],
-                        num_heads=cfg.num_heads[i_level], num_frames=T,
+                        num_heads=cfg.num_heads[i_level], num_frames=t_cur,
                         window_size=tuple(cfg.window_sizes[i_level]),
                         mlp_ratio=1.0, use_pallas=self.use_pallas, dtype=self.dtype,
                         name=f"up_{i_level}_attn_{i_block}")(h)
+            at_slice_level = middle_only and i_level == last_na_level
             if fuse_fn is not None:
-                h = fuse_fn(curr_res, h)
+                fuse_mid = at_slice_level and curr_res in fuse_set
+                h = fuse_fn(curr_res, h, middle_only=fuse_mid)
+                if fuse_mid:
+                    t_cur = 1
+            if at_slice_level and t_cur == T:
+                # last cross-frame stage was the attention above (no fuse
+                # here): everything past this point is per-frame
+                h = h[:, T // 2:T // 2 + 1]
+                t_cur = 1
             if i_level != 0:
                 h = Upsample(with_conv=cfg.resamp_with_conv, dtype=self.dtype,
                              name=f"up_{i_level}_upsample")(h)

@@ -8,9 +8,17 @@ boundary 3x as float32) with:
   * **unique-frame uint8 transfer**: each decoded frame is uploaded exactly
     once, as uint8 (12x less host->device traffic than the naive
     3x-duplicated float32 window batches);
-  * **on-device window assembly**: a rolling 2-frame device-side tail is
-    concatenated with the new chunk and gathered into [B, T, H, W, C]
-    sliding windows inside the jitted step;
+  * **per-frame trunk caching**: the strictly per-frame compute (BiSeNet
+    parsing prior + the encoder's attention-free high-resolution levels,
+    PGTFormer.encode_frames) runs once per unique frame; the rolling
+    device-side tail holds the *features* of the 2-frame window overlap, so
+    no per-frame work is ever recomputed across windows;
+  * **on-device window assembly**: cached per-frame features are gathered
+    into [B, T, ...] sliding windows inside the jitted step;
+  * **middle-frame-only decoding**: the decoder's high-resolution levels and
+    the heavy fuse-SFT convs past the last cross-frame op run only for the
+    kept middle frame (the reference decodes all 3 and discards 2 —
+    inference.py:15);
   * **batched restoration**: B windows per device step;
   * **async dispatch**: host decode of chunk k+1 overlaps device compute of
     chunk k (2 batches kept in flight);
@@ -82,49 +90,54 @@ class VideoRestorer:
         # window i covers frames [i, i+T) of concat(tail(2r), new(B))
         win_idx = np.stack([np.arange(i, i + T) for i in range(B)])
 
-        def step(variables, tail_u8, new_u8):
-            """tail [2r, H, W, 3]u8 + new [B, H, W, 3]u8 ->
-            (restored middles [B, H, W, 3]u8, new tail)."""
-            frames = jnp.concatenate([tail_u8, new_u8], axis=0)
-            windows = frames[jnp.asarray(win_idx)]       # [B, T, H, W, 3]u8
-            x = windows.astype(jnp.float32) / 255.0
-            out, _, _ = self.model.apply(variables, x, w=self.w)
-            out = out.reshape(B, T, *out.shape[1:])[:, T // 2]
-            out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
-            out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
-            return out_u8, frames[-2 * r:] if r else frames[:0]
-
+        shard_windows = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             assert B % mesh.shape["data"] == 0, (
                 "batch_windows must divide over the data axis")
             rep = NamedSharding(mesh, P())
-
-            # replicate params; shard the window batch inside the step by
-            # constraining the gathered windows
-            def step_sharded(variables, tail_u8, new_u8):
-                frames = jnp.concatenate([tail_u8, new_u8], axis=0)
-                windows = frames[jnp.asarray(win_idx)]
-                windows = jax.lax.with_sharding_constraint(
-                    windows, NamedSharding(mesh, P("data")))
-                x = windows.astype(jnp.float32) / 255.0
-                out, _, _ = self.model.apply(variables, x, w=self.w)
-                out = out.reshape(B, T, *out.shape[1:])[:, T // 2]
-                out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
-                out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
-                return out_u8, frames[-2 * r:] if r else frames[:0]
-
+            data = NamedSharding(mesh, P("data"))
+            shard_windows = lambda a: jax.lax.with_sharding_constraint(a, data)
             self.variables = jax.device_put(variables, rep)
-            self._step = jax.jit(step_sharded,
-                                 out_shardings=(rep, rep))
+
+        def encode_frames(variables, frames_u8):
+            """[F, H, W, 3]u8 -> per-frame feature pytree (pos, trunk, skips)."""
+            x = frames_u8.astype(jnp.float32) / 255.0
+            return self.model.apply(variables, x,
+                                    method="encode_frames")
+
+        def step(variables, tail_ff, new_u8):
+            """tail per-frame features (last 2r frames) + new [B, H, W, 3]u8
+            -> (restored middles [B, H, W, 3]u8, new feature tail)."""
+            ff_new = encode_frames(variables, new_u8)
+            ff = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                              tail_ff, ff_new)
+            idx = jnp.asarray(win_idx)
+            windows = jax.tree.map(lambda a: a[idx], ff)   # each [B, T, ...]
+            if shard_windows is not None:
+                windows = jax.tree.map(shard_windows, windows)
+            pos, trunk, skips = windows
+            out, _, _ = self.model.apply(variables, pos, trunk, skips,
+                                         w=self.w, middle_only=True,
+                                         method="restore_windows")
+            out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+            out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
+            tail = jax.tree.map(lambda a: a[-2 * r:] if r else a[:0], ff)
+            return out_u8, tail
+
+        if mesh is not None:
+            self._step = jax.jit(step, out_shardings=(rep, rep))
         else:
             self._step = jax.jit(step)
+        self._encode = jax.jit(encode_frames)
         self._tail = None
         self._first_chunk_s = None
+        self._prime_s = 0.0
 
     def reset(self):
         self._tail = None
         self._first_chunk_s = None
+        self._prime_s = 0.0
 
     def restore_chunk(self, new_frames_u8: np.ndarray):
         """new_frames_u8 [B, H, W, 3] uint8 -> [B, H, W, 3] uint8 (async).
@@ -144,17 +157,24 @@ class VideoRestorer:
 
     def prime(self, first_frame: np.ndarray):
         """Initialize the left padding: duplicate the first frame
-        (reference inference.py:41-45)."""
+        (reference inference.py:41-45) and cache its per-frame features."""
+        t0 = time.perf_counter()
         t = np.repeat(first_frame[None], 2 * self.radius, axis=0)
-        self._tail = jnp.asarray(t)
+        self._tail = self._encode(self.variables, jnp.asarray(t))
+        np.asarray(jax.tree.leaves(self._tail)[0].reshape(-1)[:1])  # sync
+        self._prime_s = time.perf_counter() - t0  # compile-dominated
 
     def restore_video(self, input_path: str, output_path: str,
                       progress: bool = False,
                       frame_callback=None) -> dict:
-        """Restore a video file; returns timing/throughput stats.
+        """Restore a video file; returns timing/throughput stats including a
+        per-phase breakdown (decode / dispatch / readback / encode).
         `frame_callback(index, rgb_u8)` is invoked per restored frame."""
+        import queue
+        import threading
+        from pgtformer_tpu.utils.profiling import StageTimer
+        timer = StageTimer()
         reader = _open_reader(input_path, self.io_backend)
-        writer = None
         B = self.batch
         r = self.radius
         n_frames = 0
@@ -162,18 +182,51 @@ class VideoRestorer:
         pending: List = []  # (device_out, n_valid)
         self.reset()
 
+        # encode runs in a writer thread so the (CPU-bound) video encoder
+        # overlaps device compute and readback instead of serializing after
+        # them (the reference's pipe write blocks its loop the same way —
+        # inference.py:65)
+        wq: "queue.Queue" = queue.Queue(maxsize=4)
+        werr: List[BaseException] = []
+        encode_s = [0.0]
+
+        def writer_main():
+            writer = None
+            try:
+                while True:
+                    frames = wq.get()
+                    if frames is None:
+                        break
+                    te = time.perf_counter()
+                    for f in frames:
+                        if writer is None:
+                            writer = _open_writer(output_path, reader.fps,
+                                                  f.shape[:2],
+                                                  self.io_backend)
+                        writer.write(f)
+                    encode_s[0] += time.perf_counter() - te
+            except BaseException as e:  # surfaced after join
+                werr.append(e)
+            finally:
+                if writer is not None:
+                    writer.close()
+
+        wthread = threading.Thread(target=writer_main, daemon=True)
+        wthread.start()
+
         def drain(entry):
-            nonlocal writer, n_frames
+            nonlocal n_frames
             dev_out, n_valid = entry
-            frames = np.asarray(dev_out)     # sync point
-            for f in frames[:n_valid]:
-                if writer is None:
-                    writer = _open_writer(output_path, reader.fps,
-                                          f.shape[:2], self.io_backend)
-                writer.write(f)
-                if frame_callback is not None:
+            with timer.stage("readback"):    # device sync + device->host
+                frames = np.asarray(dev_out)
+            valid = frames[:n_valid]
+            wq.put(valid)
+            if frame_callback is not None:
+                for f in valid:
                     frame_callback(n_frames, f)
-                n_frames += 1
+                    n_frames += 1
+            else:
+                n_frames += len(valid)
 
         # Alignment: prime() consumes frame 0 into the device tail
         # ([f0]*2r); after that a chunk of B new frames yields exactly B
@@ -185,12 +238,21 @@ class VideoRestorer:
         last_frame = None
 
         def flush(n_valid):
-            out = self.restore_chunk(np.stack(chunk))
+            # first chunk's dispatch is compile-dominated; keep it separate
+            name = ("dispatch" if self._first_chunk_s is not None
+                    else "compile")
+            with timer.stage(name):          # host->device upload + enqueue
+                out = self.restore_chunk(np.stack(chunk))
             pending.append((out, n_valid))
             if len(pending) > 2:
                 drain(pending.pop(0))
 
-        for frame in iter(reader):
+        reader_it = iter(reader)
+        while True:
+            with timer.stage("decode"):
+                frame = next(reader_it, None)
+            if frame is None:
+                break
             if last_frame is None:
                 self.prime(frame)
                 last_frame = frame
@@ -206,6 +268,8 @@ class VideoRestorer:
 
         if last_frame is None:
             reader.close()
+            wq.put(None)
+            wthread.join()
             return {"frames": 0, "seconds": 0.0, "fps": 0.0}
 
         needed = len(chunk) + r
@@ -218,12 +282,18 @@ class VideoRestorer:
         for entry in pending:
             drain(entry)
         reader.close()
-        if writer is not None:
-            writer.close()
+        wq.put(None)
+        wthread.join()
+        if werr:
+            raise werr[0]
+        timer.totals["encode(threaded)"] = encode_s[0]
+        timer.counts["encode(threaded)"] = 1
         dt = time.perf_counter() - t0
-        steady = dt - self._first_chunk_s if self._first_chunk_s else dt
+        startup = (self._first_chunk_s or 0.0) + self._prime_s
+        steady = dt - startup if startup else dt
         steady_frames = max(n_frames - B, 0)
         return {"frames": n_frames, "seconds": dt,
                 "fps": n_frames / dt if dt > 0 else 0.0,
-                "compile_seconds": self._first_chunk_s,
-                "steady_fps": steady_frames / steady if steady > 0 else 0.0}
+                "compile_seconds": startup,
+                "steady_fps": steady_frames / steady if steady > 0 else 0.0,
+                "phases": timer.summary()}
