@@ -73,15 +73,18 @@ def main():
 
     # NOTE: on the axon TPU tunnel, block_until_ready() does not actually
     # wait for remote execution; a host readback is the honest sync point.
+    # Best-of-3 repetitions: the shared dev tunnel has multi-second noise
+    # spikes that a single 20-iter window can absorb entirely.
     iters = 20
-    t0 = time.perf_counter()
-    tail = tail0
-    for _ in range(iters):
-        out, tail = restorer._step(restorer.variables, tail,
-                                   jnp.asarray(chunk))
-    np.asarray(out[0, 0, 0, :1])
-    dt = time.perf_counter() - t0
-    step_s = dt / iters
+    step_s = float("inf")
+    for _ in range(3):
+        tail = tail0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, tail = restorer._step(restorer.variables, tail,
+                                       jnp.asarray(chunk))
+        np.asarray(out[0, 0, 0, :1])
+        step_s = min(step_s, (time.perf_counter() - t0) / iters)
     fps = B / step_s
 
     rec = {

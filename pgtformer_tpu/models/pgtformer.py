@@ -155,7 +155,8 @@ class PGTFormer(nn.Module):
                                  name="feat_emb")
         self.ft_layers = [TransformerSALayer(
             embed_dim=cfg.dim_embd, nhead=cfg.n_head,
-            dim_mlp=cfg.dim_embd * 2, dtype=self.dtype,
+            dim_mlp=cfg.dim_embd * 2, use_pallas=self.use_pallas,
+            dtype=self.dtype,
             name=f"ft_layers_{i}") for i in range(cfg.n_layers)]
 
         self.codebook_size = (vq.n_embed if isinstance(vq.n_embed, int)

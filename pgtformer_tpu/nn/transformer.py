@@ -24,9 +24,14 @@ class MultiHeadSelfAttention(nn.Module):
 
     Parameters are stored packed ([C, 3C] kernel / [3C] bias) so the weight
     converter can copy torch's `in_proj_weight`/`in_proj_bias` verbatim.
+
+    With `use_pallas` (inference on TPU), the softmax(qk^T)v core runs in
+    the VMEM-resident kernel (ops/flash_attn.py) instead of materializing
+    the [B, H, N, N] fp32 scores in HBM.
     """
     embed_dim: int
     num_heads: int
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -50,16 +55,28 @@ class MultiHeadSelfAttention(nn.Module):
         kp = k @ kern[:, C:2 * C] + bias[C:2 * C]
         vp = v @ kern[:, 2 * C:] + bias[2 * C:]
 
-        qp = qp.reshape(B, Nq, h, hd) * (hd ** -0.5)
-        kp = kp.reshape(B, Nk, h, hd)
-        vp = vp.reshape(B, Nk, h, hd)
+        scale = hd ** -0.5
+        if (self.use_pallas and not self.is_initializing()
+                and Nq == Nk and Nq % 8 == 0):
+            from pgtformer_tpu.ops.flash_attn import dense_mha
+            to_heads = lambda a, N: a.reshape(B, N, h, hd).transpose(
+                (0, 2, 1, 3))
+            out = dense_mha(to_heads(qp, Nq), to_heads(kp, Nk),
+                            to_heads(vp, Nk), scale=scale,
+                            block_q=1024)
+            out = out.transpose((0, 2, 1, 3)).reshape(B, Nq, C)
+            out = out.astype(self.dtype)
+        else:
+            qp = qp.reshape(B, Nq, h, hd) * scale
+            kp = kp.reshape(B, Nk, h, hd)
+            vp = vp.reshape(B, Nk, h, hd)
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(B, Nq, C).astype(self.dtype)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(B, Nq, C).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -130,6 +147,7 @@ class TransformerSALayer(nn.Module):
     embed_dim: int
     nhead: int = 8
     dim_mlp: int = 2048
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -138,7 +156,8 @@ class TransformerSALayer(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
         qk = x if query_pos is None else x + query_pos
         attn_out = MultiHeadSelfAttention(
-            embed_dim=self.embed_dim, num_heads=self.nhead, dtype=self.dtype,
+            embed_dim=self.embed_dim, num_heads=self.nhead,
+            use_pallas=self.use_pallas, dtype=self.dtype,
             name="self_attn")(qk, qk, x)
         tgt = tgt + attn_out
 

@@ -1,0 +1,72 @@
+"""Pallas TPU kernel: dense multi-head attention for the code-prediction
+transformer (reference archs/pgtformer_arch.py:638-643 — 9 layers over
+T*32*32 = 3072 tokens, 8 heads of 64).
+
+XLA materializes the [B, H, N, N] fp32 score tensor in HBM three times per
+layer (scores, softmax, probs); at N=3072 that is ~2.4 GB of traffic per
+layer.  This kernel keeps the whole K/V of one (batch, head) in VMEM
+(2 x 3072 x 64 bf16 = 768 KB) and streams 512-row query blocks through a
+single-pass softmax — scores never leave VMEM.  No online/recurrence
+bookkeeping is needed because the full key axis fits in one block
+(unlike generic flash attention, which pays it; the stock
+jax.experimental.pallas flash kernel measures 3x slower than XLA at this
+small-head geometry).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.bfloat16)                  # [BQ, D]
+    k = k_ref[0].astype(jnp.bfloat16)                  # [N, D]
+    v = v_ref[0].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale                                      # [BQ, N] fp32
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def dense_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+              scale: float, block_q: int = 512,
+              interpret: bool = False) -> jnp.ndarray:
+    """q, k, v: [B, H, N, D] -> [B, H, N, D] (softmax(q k^T * scale) v).
+
+    Requires N % block_q == 0 (3072 deployed); D is MXU-tiled as-is (64
+    contracts at half MXU width — padding to 128 doubles FLOPs for the same
+    wall time, so we don't)."""
+    B, H, N, D = q.shape
+    if N % block_q:
+        block_q = N  # small geometries (tests): one block
+    fold = lambda a: a.reshape(B * H, N, D)
+    grid = (B * H, N // block_q)
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+        interpret=interpret,
+    )(fold(q), fold(k), fold(v))
+    return out.reshape(B, H, N, D)

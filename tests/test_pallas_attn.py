@@ -79,3 +79,23 @@ def test_encoder_layer_pallas_flag_cpu_interpret(monkeypatch):
     out = np.asarray(fused_layer.apply(v, x))
     d = np.abs(out - ref)
     assert d.max() < 0.1 and d.mean() < 0.01
+
+
+def test_dense_mha_matches_xla_interpret():
+    """Dense-transformer attention kernel (ops/flash_attn.py) vs plain XLA
+    attention, interpreter mode on CPU."""
+    from pgtformer_tpu.ops.flash_attn import dense_mha
+    B, H, N, D = 2, 4, 64, 32
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+    scale = D ** -0.5
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+
+    out = dense_mha(q, k, v, scale=scale, block_q=32, interpret=True)
+    # kernel computes in bf16 matmuls with fp32 softmax
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)

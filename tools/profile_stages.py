@@ -1,4 +1,5 @@
-"""Per-stage device-time breakdown of the flagship PGTFormer forward.
+"""Per-stage device-time breakdown of the serving step (cached-trunk +
+middle-only pipeline, the same work bench.py measures).
 
 Each stage is jitted separately and timed with a tiny host readback as the
 sync point (block_until_ready is a no-op on the axon tunnel).  Stage sums
@@ -17,6 +18,14 @@ import time
 import numpy as np
 
 
+def jax_sync(out):
+    import jax
+    leaf = jax.tree.leaves(out)[0]
+    # slice on-device FIRST; np.asarray of the full leaf would read back
+    # tens of MB over the tunnel inside the timed region
+    np.asarray(leaf.reshape(-1)[:1])
+
+
 def timeit(fn, args, iters, label):
     out = fn(*args)
     jax_sync(out)
@@ -25,16 +34,8 @@ def timeit(fn, args, iters, label):
         out = fn(*args)
     jax_sync(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{label:34s} {dt * 1e3:9.2f} ms")
+    print(f"{label:38s} {dt * 1e3:9.2f} ms")
     return dt
-
-
-def jax_sync(out):
-    import jax
-    leaf = jax.tree.leaves(out)[0]
-    # slice on-device FIRST; np.asarray of the full leaf would read back
-    # tens of MB over the tunnel inside the timed region
-    np.asarray(leaf.reshape(-1)[:1])
 
 
 def main():
@@ -47,7 +48,6 @@ def main():
     import jax.numpy as jnp
     from pgtformer_tpu.config import RELEASE_PGTFORMER
     from pgtformer_tpu.models.pgtformer import PGTFormer
-    from pgtformer_tpu.ops.image import imagenet_normalize
 
     cfg = RELEASE_PGTFORMER
     model = PGTFormer(cfg, dtype=jnp.bfloat16, use_pallas=True)
@@ -66,92 +66,80 @@ def main():
         if np.issubdtype(s.dtype, np.floating)
         else jnp.zeros(s.shape, s.dtype), shapes)
 
-    x = jnp.asarray(rng.uniform(0, 1, (B, T, res, res, 3)), jnp.float32)
+    frames = jnp.asarray(rng.uniform(0, 1, (B, res, res, 3)), jnp.float32)
 
-    # ---- whole graph -------------------------------------------------------
-    @jax.jit
-    def whole(v, x):
-        out, _, _ = model.apply(v, x, w=1.0)
-        return out
+    # ---- stage: per-frame trunk (BiSeNet + encoder trunk), B frames --------
+    enc_frames = jax.jit(lambda v, f: model.apply(
+        v, f, method="encode_frames"))
+    t_trunk = timeit(enc_frames, (variables, frames), args.iters,
+                     "encode_frames (parser+trunk, B frames)")
+    ff = enc_frames(variables, frames)
+    win_idx = jnp.asarray(
+        np.stack([np.arange(i, i + T) for i in range(B - T + 1)]))
+    pos, trunk, skips = jax.tree.map(lambda a: a[win_idx], ff)
+    Bw = pos.shape[0]
 
-    t_whole = timeit(whole, (variables, x), args.iters, "whole forward")
+    # ---- whole restore_windows ---------------------------------------------
+    restore = jax.jit(lambda v, p, t, s: model.apply(
+        v, p, t, s, w=1.0, middle_only=True, method="restore_windows")[0])
+    t_restore = timeit(restore, (variables, pos, trunk, skips), args.iters,
+                       f"restore_windows ({Bw} windows)")
 
-    # ---- stage: parser (BiSeNet + convpos) ---------------------------------
-    @jax.jit
-    def parser_fn(v, x):
-        def m(mdl, x):
-            B, T, H, W, _ = x.shape
-            nx = imagenet_normalize(x).reshape(B * T, H, W, 3)
-            cond = mdl.conditionnet(nx)
-            return mdl.convpos(cond)
-        return model.apply(v, x, method=m)
+    # ---- encoder head -------------------------------------------------------
+    def head_m(mdl, trunk_h):
+        z, feats = mdl.encoder(trunk_h, return_multi_res_feats=True,
+                               stage="head")
+        return mdl.quant_conv(z), feats
+    head = jax.jit(lambda v, t: model.apply(v, t, method=head_m))
+    t_head = timeit(head, (variables, trunk), args.iters,
+                    "encoder head (attn levels + mid)")
+    lq_feat, head_feats = head(variables, trunk)
 
-    t_parser = timeit(parser_fn, (variables, x), args.iters,
-                      "parser (BiSeNet+convpos) 3B frames")
+    # ---- transformer --------------------------------------------------------
+    th, tw = pos.shape[2:4]
 
-    # ---- stage: encoder ----------------------------------------------------
-    @jax.jit
-    def encoder_fn(v, x):
-        def m(mdl, x):
-            z, feats = mdl.encoder(x, return_multi_res_feats=True)
-            return mdl.quant_conv(z), feats
-        return model.apply(v, x, method=m)
-
-    t_enc = timeit(encoder_fn, (variables, x), args.iters,
-                   "encoder (+feats, quant_conv)")
-    lq_feat, feats = encoder_fn(variables, x)
-
-    # ---- stage: transformer (9 layers + idx head) --------------------------
-    cond = parser_fn(variables, x)
-    th, tw = cond.shape[1:3]
-
-    @jax.jit
-    def transformer_fn(v, lq_feat, cond):
-        def m(mdl, lq_feat, cond):
-            BT = lq_feat.shape[0]
-            Bb = BT // T
-            query_pos = cond.reshape(Bb, T * th * tw, cond.shape[-1])
-            tokens = mdl.feat_emb(lq_feat)
-            cc = tokens.shape[-1]
-            tokens = tokens.reshape(Bb, T * th * tw, cc)
-            for layer in mdl.ft_layers:
-                tokens = layer(tokens, query_pos=query_pos)
-            logits = mdl.idx_pred_head(mdl.idx_pred_norm(tokens))
-            return logits.reshape(BT, th, tw, mdl.quantizer_depth,
-                                  mdl.codebook_size)
-        return model.apply(v, lq_feat, cond, method=m)
-
-    t_tf = timeit(transformer_fn, (variables, lq_feat, cond), args.iters,
+    def tf_m(mdl, lq_feat, pos):
+        Bb, Tt = pos.shape[:2]
+        query_pos = pos.reshape(Bb, Tt * th * tw, pos.shape[-1])
+        tokens = mdl.feat_emb(lq_feat)
+        tokens = tokens.reshape(Bb, Tt * th * tw, tokens.shape[-1])
+        for layer in mdl.ft_layers:
+            tokens = layer(tokens, query_pos=query_pos)
+        logits = mdl.idx_pred_head(mdl.idx_pred_norm(tokens))
+        return logits.reshape(Bb * Tt, th, tw, mdl.quantizer_depth,
+                              mdl.codebook_size)
+    tf_fn = jax.jit(lambda v, l, p: model.apply(v, l, p, method=tf_m))
+    t_tf = timeit(tf_fn, (variables, lq_feat, pos), args.iters,
                   "transformer (9L + idx head)")
-    logits = transformer_fn(variables, lq_feat, cond)
-
-    # ---- stage: embed + decoder + fuse -------------------------------------
+    logits = tf_fn(variables, lq_feat, pos)
     codes = jnp.argmax(logits, axis=-1)
 
-    @jax.jit
-    def decoder_fn(v, codes, lq_feat, f1, f2, f3, f4):
-        def m(mdl, codes, lq_feat, f1, f2, f3, f4):
-            enc_feat_dict = {"256": f1, "128": f2, "64": f3, "32": f4}
-            return mdl._decode_restored(codes, lq_feat, enc_feat_dict,
-                                        w=1.0, detach_16=True, adain=True)
-        return model.apply(v, codes, lq_feat, f1, f2, f3, f4, method=m)
+    # ---- decoder + fuse (middle only) ---------------------------------------
+    fl = cfg.vqvae.ddconfig.first_attn_level
 
-    t_dec = timeit(decoder_fn,
-                   (variables, codes, lq_feat,
-                    feats[1], feats[2], feats[3], feats[4]),
-                   args.iters, "embed+adain+decoder+fuse")
+    def dec_m(mdl, codes, lq_feat, skips, head_feats):
+        feats = list(skips) + list(head_feats)
+        enc_feat_dict = {f: feats[mdl.fuse_encoder_indices[f]]
+                         for f in cfg.connect_list}
+        return mdl._decode_restored(codes, lq_feat, enc_feat_dict,
+                                    w=1.0, detach_16=True, adain=True,
+                                    middle_only=True)
+    dec = jax.jit(lambda v, c, l, s, hf: model.apply(
+        v, c, l, s, hf, method=dec_m))
+    t_dec = timeit(dec, (variables, codes, lq_feat, skips, head_feats),
+                   args.iters, "embed+adain+decoder+fuse (middle)")
 
-    total = t_parser + t_enc + t_tf + t_dec
-    print(f"{'stage sum':34s} {total * 1e3:9.2f} ms "
-          f"(whole {t_whole * 1e3:.2f} ms)")
+    total = t_trunk + t_head + t_tf + t_dec
+    print(f"{'stage sum':38s} {total * 1e3:9.2f} ms "
+          f"(trunk + restore_windows = "
+          f"{(t_trunk + t_restore) * 1e3:.2f} ms)")
     print(json.dumps({
-        "batch": B,
-        "whole_ms": round(t_whole * 1e3, 2),
-        "parser_ms": round(t_parser * 1e3, 2),
-        "encoder_ms": round(t_enc * 1e3, 2),
+        "batch": B, "windows": int(Bw),
+        "trunk_ms": round(t_trunk * 1e3, 2),
+        "restore_ms": round(t_restore * 1e3, 2),
+        "enc_head_ms": round(t_head * 1e3, 2),
         "transformer_ms": round(t_tf * 1e3, 2),
         "decoder_ms": round(t_dec * 1e3, 2),
-        "fps_whole": round(B / t_whole, 2),
     }))
 
 
