@@ -39,11 +39,49 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _dense_mha_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: float) -> jnp.ndarray:
+    """Pure-XLA reference (the MultiHeadSelfAttention fallback math) — the
+    differentiable body backing dense_mha's custom VJP."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def dense_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
               scale: float, block_q: int = 512,
               interpret: bool = False) -> jnp.ndarray:
     """q, k, v: [B, H, N, D] -> [B, H, N, D] (softmax(q k^T * scale) v).
+
+    Differentiable: the custom VJP rematerializes through `_dense_mha_ref`,
+    so grads equal the stock XLA attention's."""
+
+    def fwd_impl(q, k, v):
+        return _dense_mha_pallas(q, k, v, scale=scale, block_q=block_q,
+                                 interpret=interpret)
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return fwd_impl(q, k, v)
+
+    def f_fwd(q, k, v):
+        return fwd_impl(q, k, v), (q, k, v)
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(lambda a, b, c: _dense_mha_ref(a, b, c, scale), *res)
+        return vjp(g.astype(res[0].dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _dense_mha_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                      scale: float, block_q: int = 512,
+                      interpret: bool = False) -> jnp.ndarray:
+    """The raw kernel forward (no autodiff).
 
     Requires N % block_q == 0 (3072 deployed); D is MXU-tiled as-is (64
     contracts at half MXU width — padding to 128 doubles FLOPs for the same

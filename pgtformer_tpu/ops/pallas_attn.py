@@ -12,8 +12,10 @@ This kernel executes the ENTIRE block —
 bf16 matmuls on the MXU.  Heads are processed as unrolled per-head batched
 dots (avoids 4D transposes inside the kernel).
 
-Inference-path only for now (pallas_call has no autodiff without a custom
-VJP); training uses the XLA path.
+Differentiable: `fused_sw_block_tokens` carries a custom VJP whose backward
+pass rematerializes the block through `sw_block_tokens_xla` (the pure-XLA
+token-level equivalent) and takes its exact gradients — so stages I/III/IV
+train through the fused forward with XLA-path-identical grads.
 """
 
 from __future__ import annotations
@@ -95,6 +97,56 @@ def _block_kernel(num_heads: int, head_dim: int, c_model: int,
     return kernel
 
 
+def sw_block_tokens_xla(x: jnp.ndarray, p: dict, rel_bias: jnp.ndarray,
+                        mask: Optional[np.ndarray], num_heads: int,
+                        n_windows_per_image: int) -> jnp.ndarray:
+    """Pure-XLA token-level equivalent of one SWTransformerBlock applied to
+    window tokens [M, N, C] — the same math nn/blocks.py runs (LayerNorm eps
+    1e-6, exact GELU, fp32 softmax).  Serves as the differentiable reference
+    for the fused kernel's custom VJP and its parity tests."""
+    M, N, C = x.shape
+    dtype = x.dtype
+    h = num_heads
+    hd = C // h
+    scale = hd ** -0.5
+    f32 = jnp.float32
+
+    def ln(z, q):
+        zf = z.astype(f32)
+        mu = zf.mean(-1, keepdims=True)
+        var = ((zf - mu) ** 2).mean(-1, keepdims=True)
+        y = (zf - mu) * jax.lax.rsqrt(var + 1e-6)
+        return (y * q["scale"] + q["bias"]).astype(dtype)
+
+    a = p["attn1"]
+    hx = ln(x, p["norm1"])
+    qp = hx @ a["q"]["kernel"].astype(dtype) + a["q"]["bias"].astype(dtype)
+    kvp = hx @ a["kv"]["kernel"].astype(dtype) + a["kv"]["bias"].astype(dtype)
+    qp = qp.reshape(M, N, h, hd) * scale
+    k = kvp[..., :C].reshape(M, N, h, hd)
+    v = kvp[..., C:].reshape(M, N, h, hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", qp, k, preferred_element_type=f32)
+    attn = attn + rel_bias[None].astype(f32)
+    if mask is not None:
+        nW = n_windows_per_image
+        m = jnp.asarray(mask, f32)
+        attn = attn.reshape(M // nW, nW, h, N, N) + m[None, :, None]
+        attn = attn.reshape(M, h, N, N)
+    attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=f32)
+    out = out.reshape(M, N, C).astype(dtype)
+    out = (out @ a["proj"]["kernel"].astype(dtype)
+           + a["proj"]["bias"].astype(dtype))
+    x = x + out
+    hx = ln(x, p["norm2"])
+    f = (hx @ p["mlp"]["fc1"]["kernel"].astype(dtype)
+         + p["mlp"]["fc1"]["bias"].astype(dtype))
+    f = jax.nn.gelu(f, approximate=False)
+    f = (f @ p["mlp"]["fc2"]["kernel"].astype(dtype)
+         + p["mlp"]["fc2"]["bias"].astype(dtype))
+    return x + f
+
+
 def fused_sw_block_tokens(x: jnp.ndarray,
                           block_params: dict,
                           rel_bias: jnp.ndarray,
@@ -103,13 +155,48 @@ def fused_sw_block_tokens(x: jnp.ndarray,
                           n_windows_per_image: int,
                           wblk: int = 16,
                           interpret: bool = False) -> jnp.ndarray:
-    """Apply the fused block to window tokens.
+    """Apply the fused block to window tokens (differentiable).
 
     x: [M, N, C] (M = total windows, N tokens/window); mask [nW, N, N].
     block_params: the SWTransformerBlock param subtree
       {norm1, attn1:{q, kv, proj, relative_position_bias_table},
        norm2, mlp:{fc1, fc2}}.
+
+    Forward runs the fused Pallas kernel; the custom VJP rematerializes
+    through `sw_block_tokens_xla`, so grads w.r.t. x, the block params and
+    rel_bias equal the XLA path's exactly.
     """
+
+    def fwd_impl(x, p, rb):
+        return _pallas_sw_block(x, p, rb, mask, num_heads,
+                                n_windows_per_image, wblk, interpret)
+
+    @jax.custom_vjp
+    def f(x, p, rb):
+        return fwd_impl(x, p, rb)
+
+    def f_fwd(x, p, rb):
+        return fwd_impl(x, p, rb), (x, p, rb)
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda x, p, rb: sw_block_tokens_xla(
+                x, p, rb, mask, num_heads, n_windows_per_image), *res)
+        return vjp(g.astype(res[0].dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, block_params, rel_bias)
+
+
+def _pallas_sw_block(x: jnp.ndarray,
+                     block_params: dict,
+                     rel_bias: jnp.ndarray,
+                     mask: Optional[np.ndarray],
+                     num_heads: int,
+                     n_windows_per_image: int,
+                     wblk: int = 16,
+                     interpret: bool = False) -> jnp.ndarray:
+    """The raw fused-kernel forward (no autodiff)."""
     M, N, C = x.shape
     hd = C // num_heads
     scale = hd ** -0.5

@@ -161,12 +161,14 @@ class Stage1Trainer:
     def __init__(self, cfg: VQVAEConfig, hp: StageHyper = STAGE_HYPERS["I"],
                  lpips_fn: Optional[Callable] = None,
                  mesh: Optional[Mesh] = None, dtype=jnp.float32,
-                 disc: Optional[VQGANDiscriminator] = None):
+                 disc: Optional[VQGANDiscriminator] = None,
+                 use_pallas: bool = False):
         self.cfg = cfg
         self.hp = hp
         self.mesh = mesh
         self.axis = DATA_AXIS if mesh is not None else None
-        self.model = TDCRQVAE3(cfg, axis_name=self.axis, dtype=dtype)
+        self.model = TDCRQVAE3(cfg, axis_name=self.axis, dtype=dtype,
+                               use_pallas=use_pallas)
         # n_layers=4 halves resolution 4x; inputs below ~64px need a
         # shallower PatchGAN or the logits map collapses to zero size
         self.disc = disc or VQGANDiscriminator(dtype=dtype)
@@ -328,7 +330,8 @@ class PGTFormerTrainer:
                  hp: Optional[StageHyper] = None,
                  lpips_fn: Optional[Callable] = None,
                  mesh: Optional[Mesh] = None, dtype=jnp.float32,
-                 disc: Optional[VQGANDiscriminator] = None):
+                 disc: Optional[VQGANDiscriminator] = None,
+                 use_pallas: bool = False):
         assert stage in ("II", "III", "IV")
         self.cfg = cfg
         self.stage = stage
@@ -336,7 +339,8 @@ class PGTFormerTrainer:
         self.mesh = mesh
         self.axis = DATA_AXIS if mesh is not None else None
         self.code_only = stage == "II"
-        self.model = PGTFormer(cfg, axis_name=self.axis, dtype=dtype)
+        self.model = PGTFormer(cfg, axis_name=self.axis, dtype=dtype,
+                               use_pallas=use_pallas)
         self.teacher = TDCRQVAE3(cfg.vqvae, dtype=dtype)
         self.disc = disc or VQGANDiscriminator(dtype=dtype)
         self.lpips_fn = lpips_fn

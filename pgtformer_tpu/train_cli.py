@@ -20,7 +20,8 @@ import numpy as np
 
 
 def build_from_options(opt: dict, stage: str, data_root: str,
-                       mesh=None, lpips_fn=None, dtype=None):
+                       mesh=None, lpips_fn=None, dtype=None,
+                       use_pallas: bool = False):
     import jax.numpy as jnp
     from pgtformer_tpu.config import (
         vqvae_config_from_options, pgtformer_config_from_options)
@@ -49,11 +50,12 @@ def build_from_options(opt: dict, stage: str, data_root: str,
     if stage == "I":
         cfg = vqvae_config_from_options(opt, network_key="network_g")
         trainer = Stage1Trainer(cfg, hp, lpips_fn=lpips_fn, mesh=mesh,
-                                dtype=dtype)
+                                dtype=dtype, use_pallas=use_pallas)
     else:
         cfg = pgtformer_config_from_options(opt, network_key="network_g")
         trainer = PGTFormerTrainer(cfg, stage=stage, hp=hp,
-                                   lpips_fn=lpips_fn, mesh=mesh, dtype=dtype)
+                                   lpips_fn=lpips_fn, mesh=mesh, dtype=dtype,
+                                   use_pallas=use_pallas)
     return trainer, hp
 
 
@@ -76,6 +78,14 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (halves activation memory; "
                              "needed for full-512 stage III/IV on 16GB chips)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="run the SW-attention towers through the fused "
+                             "Pallas kernel (TPU; custom-VJP backward)")
+    parser.add_argument("--val-data-root", default=None,
+                        help="VFHQ val split root; enables the periodic "
+                             "val loop (PSNR/SSIM + saved images, reference "
+                             "options/*.yml `val:` blocks)")
+    parser.add_argument("--val-samples", type=int, default=8)
     args = parser.parse_args(argv)
 
     import jax
@@ -101,7 +111,8 @@ def main(argv=None):
     lpips_fn = None if args.no_lpips else make_lpips_fn()
     trainer, hp = build_from_options(
         opt, stage, args.data_root, mesh=mesh, lpips_fn=lpips_fn,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        use_pallas=args.pallas)
 
     ds_opt = opt.get("datasets", {}).get("train", {})
     batch_per_dev = args.batch_size or int(
@@ -148,13 +159,29 @@ def main(argv=None):
             rng, jnp.asarray(np.repeat(sample["lq"][None], batch, axis=0)),
             t_vars)
 
+    val_fn = None
+    if args.val_data_root:
+        from pgtformer_tpu.data.vfhq import VFHQTestDataset
+        from pgtformer_tpu.train.validate import make_val_fn
+        val_opt = opt.get("datasets", {}).get("val", {})
+        val_ds = VFHQTestDataset(
+            args.val_data_root, r=int(val_opt.get("r", ds_opt.get("r", 1))),
+            is_aligned=bool(val_opt.get("is_aligned",
+                                        ds_opt.get("is_aligned", False))),
+            degradation=str(val_opt.get("degradation",
+                                        ds_opt.get("degradation", "blr"))),
+            inter_space=int(val_opt.get("inter_space", 1)))
+        val_fn = make_val_fn(trainer, val_ds, stage,
+                             max_samples=args.val_samples,
+                             save_dir=f"{exp_dir}/visualization")
+
     loop = Trainer(trainer, exp_dir,
                    print_freq=int(opt.get("logger", {}).get("print_freq", 100)),
                    save_checkpoint_freq=int(float(
                        opt.get("logger", {}).get("save_checkpoint_freq", 1e4))),
                    val_freq=int(float(opt.get("val", {}).get("val_freq", 2e4))))
     loop.fit(state, epoch_repeat(iter_batches),
-             total_iter=args.total_iter or hp.total_iter)
+             total_iter=args.total_iter or hp.total_iter, val_fn=val_fn)
     return 0
 
 

@@ -81,6 +81,78 @@ def test_encoder_layer_pallas_flag_cpu_interpret(monkeypatch):
     assert d.max() < 0.1 and d.mean() < 0.01
 
 
+def test_fused_block_grad_matches_xla(monkeypatch):
+    """Training through the fused kernel: d loss / d {x, params} from the
+    custom VJP equals the plain XLA path's gradients (the VJP rematerializes
+    through sw_block_tokens_xla; this pins that ref to the blocks.py math)."""
+    import pgtformer_tpu.ops.pallas_attn as pa
+    from pgtformer_tpu.nn.blocks import EncoderLayer
+
+    orig = pa.fused_sw_block_tokens
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pa, "fused_sw_block_tokens", interp)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 3, 8, 8, 256)).astype(np.float32))
+    # depth=1: fwd-value differences (bf16 kernel) can't propagate into the
+    # stored-residual bwd, so grads must match the XLA path's exactly
+    kw = dict(dim=256, depth=1, num_heads=8, num_frames=3,
+              window_size=(4, 4), mlp_ratio=1.0)
+    ref_layer = EncoderLayer(**kw)
+    fused_layer = EncoderLayer(**kw, use_pallas=True)
+    v = ref_layer.init(jax.random.PRNGKey(0), x)
+
+    def loss(layer):
+        def f(params, xx):
+            out = layer.apply({"params": params}, xx)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size)
+                                         .reshape(out.shape) * 0.01))
+        return f
+
+    g_ref = jax.grad(loss(ref_layer), argnums=(0, 1))(v["params"], x)
+    g_fused = jax.grad(loss(fused_layer), argnums=(0, 1))(v["params"], x)
+
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_dense_mha_grad_matches_xla():
+    """dense_mha custom VJP == stock XLA attention gradients."""
+    from pgtformer_tpu.ops.flash_attn import dense_mha
+    B, H, N, D = 1, 2, 32, 16
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+    scale = D ** -0.5
+    w = jnp.asarray(rng.normal(size=(B, H, N, D)).astype(np.float32))
+
+    def ref_loss(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(o * w)
+
+    def fused_loss(q, k, v):
+        return jnp.sum(dense_mha(q, k, v, scale=scale, block_q=16,
+                                 interpret=True) * w)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    g_fus = jax.grad(fused_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_dense_mha_matches_xla_interpret():
     """Dense-transformer attention kernel (ops/flash_attn.py) vs plain XLA
     attention, interpreter mode on CPU."""
