@@ -157,3 +157,58 @@ def test_trainable_mask():
     assert mask["encoder"]["conv"]["kernel"] is True
     assert mask["decoder"]["conv"]["kernel"] is False
     assert mask["conditionnet"]["bn"]["scale"] is False
+
+
+def test_stage1_validation_loop(tmp_path):
+    """make_val_fn produces finite PSNR/SSIM from EMA params and saves
+    images — the reference's `val:` block behavior (VERDICT round-1 #5)."""
+    import os
+    import cv2
+    from pgtformer_tpu.data.vfhq import VFHQTestDataset
+    from pgtformer_tpu.train.validate import make_val_fn
+
+    root = tmp_path / "vfhq"
+    rng = np.random.default_rng(0)
+    os.makedirs(root / "GT" / "clip_a")
+    for i in range(4):
+        img = rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8)
+        cv2.imwrite(str(root / "GT" / "clip_a" / f"{i:08d}.png"), img)
+    ds = VFHQTestDataset(str(root), r=1, degradation="blr")
+
+    trainer = Stage1Trainer(SMALL_VQ, FAST_HP, disc=SMALL_DISC)
+    batch = _batch(np.random.default_rng(1))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["gt"])
+
+    vis = tmp_path / "vis"
+    val_fn = make_val_fn(trainer, ds, "I", max_samples=2,
+                         save_dir=str(vis))
+    m = val_fn(state, 0)
+    assert set(m) >= {"psnr", "ssim"}
+    assert np.isfinite(m["psnr"]) and 0.0 <= m["ssim"] <= 1.0
+    saved = list((vis / "iter_0").glob("*.png"))
+    assert len(saved) == 2
+
+
+def test_trainer_fit_invokes_val_fn(tmp_path):
+    """Trainer.fit calls val_fn at val_freq (wired from train_cli)."""
+    from pgtformer_tpu.train.trainer import Trainer
+
+    trainer = Stage1Trainer(SMALL_VQ, FAST_HP, disc=SMALL_DISC)
+    batch = _batch(np.random.default_rng(2))
+    state = trainer.init_state(jax.random.PRNGKey(1), batch["gt"])
+
+    calls = []
+
+    def val_fn(state, step):
+        calls.append(step)
+        return {"psnr": 12.3}
+
+    loop = Trainer(trainer, str(tmp_path / "exp"), print_freq=100,
+                   save_checkpoint_freq=100, val_freq=2, use_tb_logger=False)
+
+    def batches():
+        while True:
+            yield batch["gt"]
+
+    loop.fit(state, batches(), total_iter=4, val_fn=val_fn)
+    assert calls == [2, 4]
