@@ -147,3 +147,142 @@ def test_sliding_windows_padding():
     # single-frame video
     wins = list(sliding_windows(iter(frames[:1]), radius=1))
     assert len(wins) == 1 and all((f == 0).all() for f in wins[0])
+
+
+def _ref_degradations(reference):
+    import sys, types
+    ft = types.ModuleType("torchvision.transforms.functional_tensor")
+    ft.rgb_to_grayscale = lambda x: x.mean(dim=-3, keepdim=True)
+    sys.modules["torchvision.transforms.functional_tensor"] = ft
+    sys.modules["torchvision.transforms"].functional_tensor = ft
+    from data import degradations as ref_D
+    return ref_D
+
+
+def test_noise_wrappers_match_reference_streams(reference):
+    """generate/add gaussian+poisson noise reproduce the reference
+    bit-exactly when fed the same legacy RandomState stream
+    (reference data/degradations.py:391-683)."""
+    ref_D = _ref_degradations(reference)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
+
+    np.random.seed(123)
+    ref_n = ref_D.generate_gaussian_noise(img, sigma=25, gray_noise=False)
+    mine = D.generate_gaussian_noise(img, np.random.RandomState(123), 25)
+    np.testing.assert_array_equal(mine, ref_n)
+
+    np.random.seed(7)
+    ref_n = ref_D.generate_poisson_noise(img, scale=1.3, gray_noise=False)
+    mine = D.generate_poisson_noise(img, np.random.RandomState(7), 1.3)
+    np.testing.assert_array_equal(mine, ref_n)
+
+    for clip, rounds in [(True, False), (True, True), (False, True)]:
+        np.random.seed(5)
+        ref_o = ref_D.add_gaussian_noise(img, sigma=40, clip=clip,
+                                         rounds=rounds)
+        mine = D.add_gaussian_noise(img, np.random.RandomState(5), 40,
+                                    clip=clip, rounds=rounds)
+        np.testing.assert_array_equal(mine, ref_o)
+
+        np.random.seed(11)
+        ref_o = ref_D.add_poisson_noise(img, scale=0.7, clip=clip,
+                                        rounds=rounds)
+        mine = D.add_poisson_noise(img, np.random.RandomState(11), 0.7,
+                                   clip=clip, rounds=rounds)
+        np.testing.assert_array_equal(mine, ref_o)
+
+    # random_* wrappers: same draw order (param uniforms then noise)
+    np.random.seed(21)
+    ref_o = ref_D.random_add_gaussian_noise(img, sigma_range=(5, 30),
+                                            gray_prob=0)
+    mine = D.random_add_gaussian_noise(img, np.random.RandomState(21),
+                                       sigma_range=(5, 30), gray_prob=0)
+    np.testing.assert_array_equal(mine, ref_o)
+
+    np.random.seed(22)
+    ref_o = ref_D.random_add_poisson_noise(img, scale_range=(0.1, 2.0),
+                                           gray_prob=0)
+    mine = D.random_add_poisson_noise(img, np.random.RandomState(22),
+                                      scale_range=(0.1, 2.0), gray_prob=0)
+    np.testing.assert_array_equal(mine, ref_o)
+
+
+def test_gray_noise_is_channelwise_identical():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    n = D.generate_gaussian_noise(img, np.random.default_rng(1), 30,
+                                  gray=True)
+    np.testing.assert_array_equal(n[..., 0], n[..., 1])
+    np.testing.assert_array_equal(n[..., 0], n[..., 2])
+    n = D.generate_poisson_noise(img, np.random.default_rng(2), 1.0,
+                                 gray=True)
+    np.testing.assert_array_equal(n[..., 0], n[..., 1])
+    # random wrappers honor gray_prob=1
+    out = D.random_add_gaussian_noise(img, np.random.default_rng(4),
+                                      sigma_range=(20, 20), gray_prob=1.0,
+                                      clip=False)
+    d = out - img
+    np.testing.assert_allclose(d[..., 0], d[..., 1], atol=1e-7)
+
+
+def test_batched_jax_noise_variants():
+    """On-device batch noise (the torch `_pt` analog): per-sample params,
+    gray blending, Poisson vals == len(unique) of the quantized image."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+
+    # unique-levels histogram == np.unique on the quantized image
+    q = jnp.clip(jnp.round(img * 255.0), 0, 255)
+    lv = np.asarray(D._unique_levels_batch(q))
+    for b in range(2):
+        assert lv[b] == len(np.unique(np.asarray(q[b])))
+
+    key = jax.random.PRNGKey(0)
+    out = D.add_gaussian_noise_batch(img, key, sigma=jnp.asarray([20., 0.]),
+                                     clip=False)
+    d = np.asarray(out - img)
+    assert abs(d[0].std() - 20 / 255) < 2e-3
+    np.testing.assert_array_equal(d[1], 0.0)
+
+    # gray: channels identical for the gray sample only
+    out = D.add_gaussian_noise_batch(img, key, sigma=15.0,
+                                     gray_noise=jnp.asarray([1.0, 0.0]),
+                                     clip=False)
+    d = np.asarray(out - img)
+    # (img + n) - img re-rounds per channel; equality is float32-eps level
+    np.testing.assert_allclose(d[0, ..., 0], d[0, ..., 1], atol=1e-6)
+    assert np.abs(d[1, ..., 0] - d[1, ..., 1]).max() > 1e-4
+
+    # rounds quantizes to the 255 grid
+    out = D.random_add_gaussian_noise_batch(img, key, sigma_range=(5, 25),
+                                            rounds=True)
+    o = np.asarray(out) * 255.0
+    np.testing.assert_allclose(o, np.round(o), atol=1e-4)
+
+    # poisson: intensity-dependent noise, finite, shaped right
+    out = D.random_add_poisson_noise_batch(img, key, scale_range=(0.5, 1.5),
+                                           gray_prob=0.5)
+    assert out.shape == img.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out) - np.asarray(img)).mean() > 1e-4
+
+
+def test_blind_degrade_second_order_and_sinc():
+    rng0 = np.random.default_rng(9)
+    frames = rng0.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32)
+    # force every optional stage on; still deterministic + in-range
+    a = D.blind_degrade_clip(frames, np.random.default_rng(42),
+                             sinc_prob=1.0, gray_noise_prob=1.0,
+                             poisson_prob=1.0, second_order_prob=1.0,
+                             final_sinc_prob=1.0)
+    b = D.blind_degrade_clip(frames, np.random.default_rng(42),
+                             sinc_prob=1.0, gray_noise_prob=1.0,
+                             poisson_prob=1.0, second_order_prob=1.0,
+                             final_sinc_prob=1.0)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == frames.shape
+    assert 0.0 <= a.min() and a.max() <= 1.0
+    assert np.abs(a - frames).mean() > 1e-3
