@@ -29,7 +29,14 @@ def main(argv=None):
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--niqe-params", default=None)
+    parser.add_argument("--lpips-weights", default=None,
+                        help="lpips.LPIPS(net='vgg') state_dict for "
+                             "metric-grade LPIPS (random VGG otherwise)")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--face-metrics", action="store_true",
+                        help="also emit Deg/LMD/TLME/MSRL (reference "
+                             "README.md:127) via the pluggable "
+                             "landmark/embedder fallbacks (eval/landmarks.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -62,11 +69,22 @@ def main(argv=None):
         out = out.reshape(B, T, *out.shape[1:])[:, T // 2]
         return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
 
-    lpips_metric = calculate_lpips_fn()
+    lpips_metric = calculate_lpips_fn(weights_path=args.lpips_weights)
     niqe_fn = None
     if args.niqe_params:
         from pgtformer_tpu.eval.niqe import calculate_niqe
         niqe_fn = lambda img: calculate_niqe(img, args.niqe_params)
+
+    face = None
+    if args.face_metrics:
+        from pgtformer_tpu.eval.landmarks import (
+            ParserLandmarkDetector, GrayPatchEmbedder)
+        cond_vars = {"params": variables["params"]["conditionnet"]}
+        if "batch_stats" in variables:
+            cond_vars["batch_stats"] = variables["batch_stats"]["conditionnet"]
+        face = {"detector": ParserLandmarkDetector(cond_vars),
+                "embedder": GrayPatchEmbedder(),
+                "clip_lms": {}}  # clip -> list of (lm_pred, lm_gt)
 
     rows = []
     n = 0
@@ -78,13 +96,13 @@ def main(argv=None):
                     variables, jnp.repeat(lq[i:i + 1], args.batch, 0))
                 out_i = np.asarray(rows_batch)[0]
                 _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn,
-                            args, T)
+                            args, T, face)
                 n += 1
         else:
             outs = np.asarray(forward(variables, lq))
             for i, out_i in enumerate(outs):
                 _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn,
-                            args, T)
+                            args, T, face)
                 n += 1
         if args.limit and n >= args.limit:
             break
@@ -97,10 +115,26 @@ def main(argv=None):
     for k in keys:
         vals = [r[k] for r in rows]
         print(f"{k}: {np.mean(vals):.4f}")
+    if face is not None:
+        # TLME needs landmark *sequences*: frame-to-frame motion error per
+        # clip, averaged over clips (eval/metrics.py temporal_landmark_error)
+        from pgtformer_tpu.eval.metrics import temporal_landmark_error
+        tlmes = []
+        for clip, lms in face["clip_lms"].items():
+            if len(lms) >= 2:
+                lp = np.stack([a for a, _ in lms])
+                lg = np.stack([b for _, b in lms])
+                tlmes.append(temporal_landmark_error(lp, lg))
+        if tlmes:
+            print(f"tlme: {np.mean(tlmes):.4f}")
+        else:
+            print("tlme: n/a (need >=2 frames per clip; lower inter-space)",
+                  file=sys.stderr)
     return 0
 
 
-def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T):
+def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T,
+                face=None):
     import cv2
     from pgtformer_tpu.eval.metrics import calculate_psnr, calculate_ssim
     gt = batch["gt"][i][T // 2]
@@ -109,6 +143,14 @@ def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T):
            "lpips": lpips_metric(out_i, gt)}
     if niqe_fn is not None:
         row["niqe"] = niqe_fn(out_i)
+    if face is not None:
+        from pgtformer_tpu.eval.landmarks import face_metrics_frame
+        fm = face_metrics_frame(out_i, gt, face["detector"],
+                                face["embedder"])
+        clip = batch["path"][i].rsplit("/", 1)[0]
+        face["clip_lms"].setdefault(clip, []).append(
+            (fm.pop("_lm_pred"), fm.pop("_lm_gt")))
+        row.update(fm)
     rows.append(row)
     if args.save_dir:
         import os
