@@ -59,6 +59,16 @@ def main(argv=None):
                         help="Also dump restored frames as PNGs into this "
                              "directory (reference easy_inference_in_windows"
                              ".py workflow)")
+    parser.add_argument("--codec", type=str, default="auto",
+                        choices=["auto", "libx265", "libx264", "mpeg4"],
+                        help="Output codec; 'auto' prefers libx265 CRF18 "
+                             "hvc1 (the reference's output format, "
+                             "inference.py:30-35) with x264/mpeg4 fallback")
+    parser.add_argument("--encode-quality-check", action="store_true",
+                        help="After writing, re-decode the output and report "
+                             "encoded-vs-restored PSNR/SSIM on sampled "
+                             "frames (stand-in for the reference's bundled "
+                             "VMAF models, ffmpeg_lib/model/)")
     args = parser.parse_args(argv)
 
     from pgtformer_tpu.config import RELEASE_PGTFORMER
@@ -74,18 +84,29 @@ def main(argv=None):
 
     restorer = VideoRestorer(variables, cfg, w=args.fidelity,
                              batch_windows=args.batch, dtype=dtype)
-    frame_cb = None
+    cbs = []
     if args.dump_frames:
         import os
         import cv2
         os.makedirs(args.dump_frames, exist_ok=True)
+        cbs.append(lambda i, rgb: cv2.imwrite(
+            os.path.join(args.dump_frames, f"{i:08d}.png"), rgb[..., ::-1]))
 
+    qcheck_samples = {}
+    if args.encode_quality_check:
+        stride = 16
+        cbs.append(lambda i, rgb: qcheck_samples.update({i: rgb.copy()})
+                   if i % stride == 0 and len(qcheck_samples) < 32 else None)
+
+    frame_cb = None
+    if cbs:
         def frame_cb(i, rgb):
-            cv2.imwrite(os.path.join(args.dump_frames, f"{i:08d}.png"),
-                        rgb[..., ::-1])
+            for cb in cbs:
+                cb(i, rgb)
 
     stats = restorer.restore_video(args.input_video, args.output_video,
-                                   progress=True, frame_callback=frame_cb)
+                                   progress=True, frame_callback=frame_cb,
+                                   codec=args.codec)
     print(f"restored {stats['frames']} frames in {stats['seconds']:.1f}s "
           f"({stats['fps']:.2f} fps; steady {stats['steady_fps']:.2f} fps, "
           f"startup {stats['compile_seconds']:.1f}s)")
@@ -93,6 +114,23 @@ def main(argv=None):
     if phases:
         parts = [f"{k} {v['total_s']:.1f}s" for k, v in phases.items()]
         print("phase totals: " + ", ".join(parts))
+
+    if args.encode_quality_check and qcheck_samples:
+        from pgtformer_tpu.eval.metrics import calculate_psnr, calculate_ssim
+        from pgtformer_tpu.pipeline import _open_reader
+        rd = _open_reader(args.output_video, "auto")
+        psnrs, ssims = [], []
+        for i, enc in enumerate(rd):
+            if i in qcheck_samples:
+                a = enc.astype(np.float32) / 255.0
+                b = qcheck_samples[i].astype(np.float32) / 255.0
+                psnrs.append(calculate_psnr(a, b))
+                ssims.append(calculate_ssim(a, b))
+        rd.close()
+        if psnrs:
+            print(f"encode quality ({len(psnrs)} sampled frames): "
+                  f"psnr {np.mean(psnrs):.2f} dB, ssim {np.mean(ssims):.4f} "
+                  "(encoded vs restored)")
     return 0
 
 

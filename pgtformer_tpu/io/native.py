@@ -52,6 +52,9 @@ def load_library(build_if_missing: bool = True):
     lib.vw_open.restype = ctypes.c_void_p
     lib.vw_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                             ctypes.c_double]
+    lib.vw_open2.restype = ctypes.c_void_p
+    lib.vw_open2.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_double, ctypes.c_char_p]
     lib.vw_write.restype = ctypes.c_int
     lib.vw_write.argtypes = [ctypes.c_void_p,
                              ctypes.POINTER(ctypes.c_uint8)]
@@ -95,12 +98,18 @@ class NativeVideoReader:
 
 
 class NativeVideoWriter:
-    def __init__(self, path: str, fps: float, size_hw: Tuple[int, int]):
+    """codec: 'auto' (libx265 -> libx264 -> mpeg4), 'libx265' (reference
+    output parity: CRF 18, hvc1 tag — reference inference.py:30-35),
+    'libx264', or 'mpeg4'."""
+
+    def __init__(self, path: str, fps: float, size_hw: Tuple[int, int],
+                 codec: str = "auto"):
         lib = load_library()
         self._lib = lib
         h, w = size_hw
         self.width, self.height = w, h
-        self._h = lib.vw_open(path.encode(), w, h, float(fps))
+        self._h = lib.vw_open2(path.encode(), w, h, float(fps),
+                               codec.encode())
         if not self._h:
             raise IOError(f"native writer: cannot open {path}")
 

@@ -183,7 +183,18 @@ int vr_read(void* h, uint8_t* out) {
 
 void vr_close(void* h) { delete static_cast<Reader*>(h); }
 
+void* vw_open2(const char* path, int w, int h, double fps,
+               const char* codec_name);
+
+// Legacy entry: codec auto-pick.
 void* vw_open(const char* path, int w, int h, double fps) {
+  return vw_open2(path, w, h, fps, "auto");
+}
+
+// codec_name: "libx265" (reference parity: -c:v libx265 -crf 18 -tag:v hvc1,
+// inference.py:30-35), "libx264", "mpeg4", or "auto" (= x265 -> x264 -> mpeg4)
+void* vw_open2(const char* path, int w, int h, double fps,
+               const char* codec_name) {
   auto* wr = new Writer();
   wr->width = w;
   wr->height = h;
@@ -192,7 +203,12 @@ void* vw_open(const char* path, int w, int h, double fps) {
     delete wr;
     return nullptr;
   }
-  const AVCodec* enc = avcodec_find_encoder_by_name("libx264");
+  const AVCodec* enc = nullptr;
+  const bool autopick = !codec_name || !std::strcmp(codec_name, "auto");
+  if (!autopick) enc = avcodec_find_encoder_by_name(codec_name);
+  if (!enc && (autopick || !std::strcmp(codec_name, "libx265")))
+    enc = avcodec_find_encoder_by_name("libx265");
+  if (!enc) enc = avcodec_find_encoder_by_name("libx264");
   if (!enc) enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
   wr->stream = avformat_new_stream(wr->fmt, enc);
   wr->codec = avcodec_alloc_context3(enc);
@@ -208,6 +224,12 @@ void* vw_open(const char* path, int w, int h, double fps) {
     // no B-frames: streaming-friendly and avoids the mp4 edit-list
     // last-frame drop some demuxers exhibit with reordered streams
     wr->codec->max_b_frames = 0;
+  } else if (enc->id == AV_CODEC_ID_HEVC) {
+    av_opt_set(wr->codec->priv_data, "crf", "18", 0);
+    av_opt_set(wr->codec->priv_data, "preset", "fast", 0);
+    av_opt_set(wr->codec->priv_data, "x265-params",
+               "log-level=error:bframes=0", 0);
+    wr->codec->max_b_frames = 0;
   } else {
     wr->codec->bit_rate = (int64_t)w * h * 8;  // generous for mpeg4
   }
@@ -218,6 +240,10 @@ void* vw_open(const char* path, int w, int h, double fps) {
     return nullptr;
   }
   avcodec_parameters_from_context(wr->stream->codecpar, wr->codec);
+  if (enc->id == AV_CODEC_ID_HEVC) {
+    // Apple-compatible sample entry, like the reference's -tag:v hvc1
+    wr->stream->codecpar->codec_tag = MKTAG('h', 'v', 'c', '1');
+  }
   if (!(wr->fmt->oformat->flags & AVFMT_NOFILE)) {
     if (avio_open(&wr->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
       delete wr;

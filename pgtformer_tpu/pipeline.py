@@ -50,11 +50,12 @@ def _open_reader(path: str, backend: str):
     return VideoReader(path)
 
 
-def _open_writer(path: str, fps: float, size_hw, backend: str):
+def _open_writer(path: str, fps: float, size_hw, backend: str,
+                 codec: str = "auto"):
     if backend in ("native", "auto"):
         try:
             from pgtformer_tpu.io.native import NativeVideoWriter
-            return NativeVideoWriter(path, fps, size_hw)
+            return NativeVideoWriter(path, fps, size_hw, codec=codec)
         except Exception:
             if backend == "native":
                 raise
@@ -166,10 +167,12 @@ class VideoRestorer:
 
     def restore_video(self, input_path: str, output_path: str,
                       progress: bool = False,
-                      frame_callback=None) -> dict:
+                      frame_callback=None, codec: str = "auto") -> dict:
         """Restore a video file; returns timing/throughput stats including a
         per-phase breakdown (decode / dispatch / readback / encode).
-        `frame_callback(index, rgb_u8)` is invoked per restored frame."""
+        `frame_callback(index, rgb_u8)` is invoked per restored frame.
+        `codec`: 'auto'/'libx265'/'libx264'/'mpeg4' (reference encodes
+        libx265 CRF18 hvc1 — inference.py:30-35)."""
         import queue
         import threading
         from pgtformer_tpu.utils.profiling import StageTimer
@@ -202,7 +205,7 @@ class VideoRestorer:
                         if writer is None:
                             writer = _open_writer(output_path, reader.fps,
                                                   f.shape[:2],
-                                                  self.io_backend)
+                                                  self.io_backend, codec)
                         writer.write(f)
                     encode_s[0] += time.perf_counter() - te
             except BaseException as e:  # surfaced after join

@@ -11,6 +11,9 @@ from pgtformer_tpu.io.native import (
 from pgtformer_tpu.io.video import VideoReader
 
 
+pytestmark = pytest.mark.quick
+
+
 @pytest.fixture(scope="module")
 def native_lib():
     try:
@@ -66,3 +69,41 @@ def test_native_writer_roundtrip(native_lib, sample_video, tmp_path):
     err = np.mean([np.abs(a.astype(int) - b.astype(int)).mean()
                    for a, b in zip(decoded, frames)])
     assert err < 6.0, err  # x264 crf18 is visually lossless-ish
+
+
+def test_native_writer_x265_hvc1(native_lib, tmp_path):
+    """libx265 CRF18 output parity (reference inference.py:30-35:
+    -c:v libx265 -crf 18 -tag:v hvc1): correct frame count, Apple hvc1
+    sample-entry tag, lossy-roundtrip quality."""
+    path = str(tmp_path / "out265.mp4")
+    gx = np.linspace(40, 215, 64, dtype=np.float32)
+    base = np.stack([np.tile(gx, (64, 1)), np.tile(gx[::-1], (64, 1)),
+                     np.tile(gx[:, None], (1, 64))], -1).astype(np.uint8)
+    frames = [np.roll(base, 2 * i, axis=1) for i in range(10)]
+    w = NativeVideoWriter(path, 25.0, (64, 64), codec="libx265")
+    for f in frames:
+        w.write(f)
+    w.close()
+
+    data = open(path, "rb").read()
+    assert b"hvc1" in data and b"hev1" not in data
+
+    r = NativeVideoReader(path)
+    got = list(r)
+    r.close()
+    assert len(got) == 10
+    err = np.mean([np.abs(a.astype(np.float32) - b.astype(np.float32)).mean()
+                   for a, b in zip(got, frames)])
+    assert err < 12.0, err  # CRF18 lossy but close
+
+
+def test_native_writer_codec_fallback(native_lib, tmp_path):
+    """Unknown codec name falls back to a working encoder."""
+    path = str(tmp_path / "outfb.mp4")
+    w = NativeVideoWriter(path, 25.0, (64, 64), codec="auto")
+    for _ in range(3):
+        w.write(np.zeros((64, 64, 3), np.uint8))
+    w.close()
+    r = NativeVideoReader(path)
+    assert len(list(r)) == 3
+    r.close()
