@@ -74,12 +74,13 @@ def calculate_ssim(img: np.ndarray, img2: np.ndarray, crop_border: int = 0,
                           for c in range(a.shape[-1])]))
 
 
-def calculate_lpips_fn(torch_state_dict=None):
+def calculate_lpips_fn(torch_state_dict=None, weights_path=None):
     """Returns lpips(img, img2)->float on [0,1] HWC numpy images.
-    See pgtformer_tpu.train.lpips for weight-porting caveats."""
+    See pgtformer_tpu.train.lpips for weight-porting caveats (warns loudly
+    when running with random VGG weights)."""
     import jax.numpy as jnp
     from pgtformer_tpu.train.lpips import make_lpips_fn
-    fn = make_lpips_fn(torch_state_dict)
+    fn = make_lpips_fn(torch_state_dict, weights_path=weights_path)
 
     def metric(img, img2):
         a = jnp.asarray(img, jnp.float32)[None]

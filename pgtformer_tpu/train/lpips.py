@@ -97,18 +97,34 @@ def _default_variables_cache(dtype_name: str):
 
 
 def make_lpips_fn(torch_state_dict: Optional[Dict[str, np.ndarray]] = None,
-                  dtype=jnp.float32):
+                  dtype=jnp.float32, weights_path: Optional[str] = None,
+                  warn_random: bool = True):
     """Return lpips_fn(x, y) -> per-sample distances [N].
 
-    `torch_state_dict`: optional `lpips.LPIPS(net='vgg')` state_dict to port.
+    `torch_state_dict`: optional `lpips.LPIPS(net='vgg')` state_dict to port;
+    `weights_path`: .pth/.safetensors file holding that state_dict.
+    Without either, the VGG runs RANDOMLY INITIALIZED — usable as a training
+    prior but NOT metric-grade; a loud warning is emitted unless suppressed.
     """
+    if weights_path:
+        from pgtformer_tpu.convert.torch_port import load_torch_checkpoint
+        torch_state_dict = load_torch_checkpoint(weights_path, param_key=None)
     model, variables = _default_variables_cache(jnp.dtype(dtype).name)
     if torch_state_dict is not None:
         variables = port_lpips_torch_weights(variables, torch_state_dict)
+    elif warn_random:
+        import sys
+        print("WARNING: LPIPS running with RANDOM VGG weights — training "
+              "perceptual loss is a random-feature prior and eval 'lpips' "
+              "numbers are NOT comparable to published values. Drop in the "
+              "`lpips.LPIPS(net='vgg')` state_dict via weights_path/"
+              "--lpips-weights for metric-grade LPIPS (see BASELINE.md).",
+              file=sys.stderr)
 
     def lpips_fn(x, y):
         return model.apply(variables, x, y)
 
+    lpips_fn.random_weights = torch_state_dict is None
     return lpips_fn
 
 

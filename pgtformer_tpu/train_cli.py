@@ -73,6 +73,10 @@ def main(argv=None):
     parser.add_argument("--teacher-ckpt", default=None,
                         help="stage II+: torch/orbax stage-I checkpoint")
     parser.add_argument("--no-lpips", action="store_true")
+    parser.add_argument("--lpips-weights", default=None,
+                        help="lpips.LPIPS(net='vgg') state_dict (.pth) for "
+                             "metric-grade perceptual loss; without it the "
+                             "VGG runs randomly initialized (loud warning)")
     parser.add_argument("--total-iter", type=int, default=None,
                         help="override the YAML's total_iter (smoke runs)")
     parser.add_argument("--bf16", action="store_true",
@@ -108,7 +112,8 @@ def main(argv=None):
 
     n_dev = jax.device_count()
     mesh = make_mesh() if n_dev > 1 else None
-    lpips_fn = None if args.no_lpips else make_lpips_fn()
+    lpips_fn = None if args.no_lpips else make_lpips_fn(
+        weights_path=args.lpips_weights)
     trainer, hp = build_from_options(
         opt, stage, args.data_root, mesh=mesh, lpips_fn=lpips_fn,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
