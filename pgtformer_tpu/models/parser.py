@@ -26,10 +26,19 @@ from pgtformer_tpu.ops.image import (
 Dtype = Any
 
 
-def _bn(dtype, name="bn"):
-    # torch BatchNorm2d defaults: eps 1e-5; frozen running stats.
-    return nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                        dtype=dtype, name=name)
+def _bn(dtype, name="bn", train=False, axis_name=None):
+    """torch BatchNorm2d defaults (eps 1e-5, momentum 0.1 -> flax 0.9).
+
+    Frozen running stats by default (the parser is frozen in every stage of
+    the deployed recipe).  `train=True` computes batch statistics — with
+    `axis_name` set they are reduced across that mesh axis, giving SyncBN
+    semantics (the reference trains with `syncbn: true`,
+    options/...stage_I...yml:6) — and updates the `batch_stats` collection
+    (callers must pass mutable=["batch_stats"]).
+    """
+    return nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                        momentum=0.9, dtype=dtype, name=name,
+                        axis_name=axis_name if train else None)
 
 
 class ConvBNReLU(nn.Module):
@@ -39,6 +48,8 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     padding: int = 1
     dtype: Dtype = jnp.float32
+    train_bn: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -46,7 +57,8 @@ class ConvBNReLU(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=self.padding, use_bias=False,
                     dtype=self.dtype, name="conv")(x)
-        return jax.nn.relu(_bn(self.dtype)(x))
+        return jax.nn.relu(_bn(self.dtype, train=self.train_bn,
+                               axis_name=self.bn_axis)(x))
 
 
 class BasicBlock(nn.Module):
@@ -54,6 +66,8 @@ class BasicBlock(nn.Module):
     out_chan: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    train_bn: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -61,16 +75,18 @@ class BasicBlock(nn.Module):
         r = nn.Conv(self.out_chan, (3, 3), strides=(self.stride,) * 2,
                     padding=1, use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        r = jax.nn.relu(_bn(self.dtype, "bn1")(r))
+        r = jax.nn.relu(_bn(self.dtype, "bn1", self.train_bn,
+                            self.bn_axis)(r))
         r = nn.Conv(self.out_chan, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(r)
-        r = _bn(self.dtype, "bn2")(r)
+        r = _bn(self.dtype, "bn2", self.train_bn, self.bn_axis)(r)
         shortcut = x
         if in_chan != self.out_chan or self.stride != 1:
             shortcut = nn.Conv(self.out_chan, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
                                dtype=self.dtype, name="downsample_conv")(x)
-            shortcut = _bn(self.dtype, "downsample_bn")(shortcut)
+            shortcut = _bn(self.dtype, "downsample_bn", self.train_bn,
+                           self.bn_axis)(shortcut)
         return jax.nn.relu(shortcut + r)
 
 
@@ -78,19 +94,24 @@ class Resnet18(nn.Module):
     """Stride-32 ResNet-18 trunk returning 1/8, 1/16, 1/32 features
     (reference pgtformer_arch.py:78-100)."""
     dtype: Dtype = jnp.float32
+    train_bn: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = jax.nn.relu(_bn(self.dtype, "bn1")(x))
+        x = jax.nn.relu(_bn(self.dtype, "bn1", self.train_bn,
+                            self.bn_axis)(x))
         # torch MaxPool2d(3, stride 2, pad 1); pad with -inf for max
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         def layer(x, out_chan, stride, name):
             x = BasicBlock(out_chan, stride, dtype=self.dtype,
+                           train_bn=self.train_bn, bn_axis=self.bn_axis,
                            name=f"{name}_0")(x)
             return BasicBlock(out_chan, 1, dtype=self.dtype,
+                              train_bn=self.train_bn, bn_axis=self.bn_axis,
                               name=f"{name}_1")(x)
 
         x = layer(x, 64, 1, "layer1")
@@ -104,43 +125,57 @@ class AttentionRefinementModule(nn.Module):
     """Global-context channel gating (reference pgtformer_arch.py:191-207)."""
     out_chan: int
     dtype: Dtype = jnp.float32
+    train_bn: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
-        feat = ConvBNReLU(self.out_chan, dtype=self.dtype, name="conv")(x)
+        feat = ConvBNReLU(self.out_chan, dtype=self.dtype,
+                          train_bn=self.train_bn, bn_axis=self.bn_axis,
+                          name="conv")(x)
         atten = global_avg_pool(feat)
         atten = nn.Conv(self.out_chan, (1, 1), use_bias=False,
                         dtype=self.dtype, name="conv_atten")(atten)
-        atten = _bn(self.dtype, "bn_atten")(atten)
+        atten = _bn(self.dtype, "bn_atten", self.train_bn,
+                    self.bn_axis)(atten)
         return feat * jax.nn.sigmoid(atten)
 
 
 class ContextPath(nn.Module):
     """ResNet trunk + top-down refinement (reference pgtformer_arch.py:216-249)."""
     dtype: Dtype = jnp.float32
+    train_bn: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
-        feat8, feat16, feat32 = Resnet18(dtype=self.dtype, name="resnet")(x)
+        feat8, feat16, feat32 = Resnet18(
+            dtype=self.dtype, train_bn=self.train_bn,
+            bn_axis=self.bn_axis, name="resnet")(x)
         H8, W8 = feat8.shape[-3:-1]
         H16, W16 = feat16.shape[-3:-1]
         H32, W32 = feat32.shape[-3:-1]
 
         avg = global_avg_pool(feat32)
         avg = ConvBNReLU(128, ks=1, padding=0, dtype=self.dtype,
+                         train_bn=self.train_bn, bn_axis=self.bn_axis,
                          name="conv_avg")(avg)
         avg_up = resize_nearest(avg, (H32, W32))
 
-        feat32_arm = AttentionRefinementModule(128, dtype=self.dtype,
-                                               name="arm32")(feat32)
+        feat32_arm = AttentionRefinementModule(
+            128, dtype=self.dtype, train_bn=self.train_bn,
+            bn_axis=self.bn_axis, name="arm32")(feat32)
         feat32_up = resize_nearest(feat32_arm + avg_up, (H16, W16))
         feat32_up = ConvBNReLU(128, dtype=self.dtype,
+                               train_bn=self.train_bn, bn_axis=self.bn_axis,
                                name="conv_head32")(feat32_up)
 
-        feat16_arm = AttentionRefinementModule(128, dtype=self.dtype,
-                                               name="arm16")(feat16)
+        feat16_arm = AttentionRefinementModule(
+            128, dtype=self.dtype, train_bn=self.train_bn,
+            bn_axis=self.bn_axis, name="arm16")(feat16)
         feat16_up = resize_nearest(feat16_arm + feat32_up, (H8, W8))
         feat16_up = ConvBNReLU(128, dtype=self.dtype,
+                               train_bn=self.train_bn, bn_axis=self.bn_axis,
                                name="conv_head16")(feat16_up)
 
         return feat8, feat16_up, feat32_up  # 1/8, 1/8, 1/16
@@ -150,11 +185,14 @@ class FeatureFusionModule(nn.Module):
     """Concat + SE-style channel attention (reference pgtformer_arch.py:304-334)."""
     out_chan: int
     dtype: Dtype = jnp.float32
+    train_bn: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, fsp, fcp):
         fcat = jnp.concatenate([fsp, fcp], axis=-1)
         feat = ConvBNReLU(self.out_chan, ks=1, padding=0, dtype=self.dtype,
+                          train_bn=self.train_bn, bn_axis=self.bn_axis,
                           name="convblk")(fcat)
         atten = global_avg_pool(feat)
         atten = nn.Conv(self.out_chan // 4, (1, 1), use_bias=False,
@@ -171,10 +209,14 @@ class BiSeNetOutput(nn.Module):
     mid_chan: int
     n_classes: int
     dtype: Dtype = jnp.float32
+    train_bn: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBNReLU(self.mid_chan, dtype=self.dtype, name="conv")(x)
+        x = ConvBNReLU(self.mid_chan, dtype=self.dtype,
+                       train_bn=self.train_bn, bn_axis=self.bn_axis,
+                       name="conv")(x)
         return nn.Conv(self.n_classes, (1, 1), use_bias=False,
                        dtype=self.dtype, name="conv_out")(x)
 
@@ -194,19 +236,24 @@ class BiSeNet(nn.Module):
     n_classes: int = 19
     out_hw: tuple = (32, 32)
     dtype: Dtype = jnp.float32
+    # SyncBN training path (reference syncbn: true): batch stats computed
+    # live and psum-reduced over `bn_axis`; default is frozen running stats
+    train_bn: bool = False
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
-        feat_res8, feat_cp8, feat_cp16 = ContextPath(dtype=self.dtype,
-                                                     name="cp")(x)
-        feat_fuse = FeatureFusionModule(256, dtype=self.dtype,
+        kw = dict(dtype=self.dtype, train_bn=self.train_bn,
+                  bn_axis=self.bn_axis)
+        feat_res8, feat_cp8, feat_cp16 = ContextPath(**kw, name="cp")(x)
+        feat_fuse = FeatureFusionModule(256, **kw,
                                         name="ffm")(feat_res8, feat_cp8)
 
-        feat_out = BiSeNetOutput(256, self.n_classes, dtype=self.dtype,
+        feat_out = BiSeNetOutput(256, self.n_classes, **kw,
                                  name="conv_out")(feat_fuse)
-        feat_out16 = BiSeNetOutput(64, self.n_classes, dtype=self.dtype,
+        feat_out16 = BiSeNetOutput(64, self.n_classes, **kw,
                                    name="conv_out16")(feat_cp8)
-        feat_out32 = BiSeNetOutput(64, self.n_classes, dtype=self.dtype,
+        feat_out32 = BiSeNetOutput(64, self.n_classes, **kw,
                                    name="conv_out32")(feat_cp16)
 
         feat_out = resize_bilinear_align_corners(feat_out, self.out_hw)

@@ -150,3 +150,44 @@ def test_pgtformer_full_parity(reference):
     diff = np.abs(_nchw(out_forced) - out_ref.numpy())
     assert float(diff.max()) < 2e-2, f"max diff {diff.max()}"
     assert float(np.median(diff)) < 2e-4, f"median diff {np.median(diff)}"
+
+
+def test_bisenet_syncbn_matches_full_batch():
+    """BiSeNet(train_bn=True, bn_axis='data') under shard_map: cross-replica
+    batch stats == single-device full-batch stats (the reference trains with
+    syncbn: true — options/...stage_I...yml:6)."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from pgtformer_tpu.models.parser import BiSeNet
+
+    B, H = 8, 32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, H, H, 3)).astype(np.float32))
+
+    net = BiSeNet(out_hw=(8, 8), train_bn=True)
+    v = net.init(jax.random.PRNGKey(0), x[:1])
+
+    # single-device full batch
+    out_full, upd_full = net.apply(v, x, mutable=["batch_stats"])
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    net_sync = BiSeNet(out_hw=(8, 8), train_bn=True, bn_axis="data")
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("data")),
+             out_specs=(P("data"), P()), check_rep=False)
+    def sharded(v, xs):
+        out, upd = net_sync.apply(v, xs, mutable=["batch_stats"])
+        return out, upd
+
+    out_sh, upd_sh = sharded(v, x)
+    # fp32 reduction-order noise between the sharded psum and the full-batch
+    # reduction; semantics are identical
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_full),
+                               atol=5e-4, rtol=5e-3)
+    a = jax.tree.leaves(upd_full["batch_stats"])
+    b = jax.tree.leaves(upd_sh["batch_stats"])
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                                   atol=5e-4, rtol=5e-3)
