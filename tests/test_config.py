@@ -2,6 +2,7 @@
 train CLI option parsing."""
 
 import numpy as np
+import pytest
 
 from pgtformer_tpu.config import (
     load_options, pgtformer_config_from_options, vqvae_config_from_options,
@@ -11,6 +12,9 @@ REF_TEST_YML = ("/root/reference/options/"
                 "release_test_stage_IIII_dont_need_align_version.yml")
 REF_STAGE1_YML = ("/root/reference/options/"
                   "release_train_stage_I_need_align_version.yml")
+
+
+pytestmark = pytest.mark.quick
 
 
 def test_release_yaml_roundtrip():

@@ -5,6 +5,7 @@ fp32); loosened to 1e-4 to tolerate compiler fusion-order changes.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from flax import traverse_util
@@ -20,6 +21,21 @@ GOLDEN = {
     "lq_mean": -0.00182104,
     "codes_sum": 16128,
 }
+
+# exact output slices (a mean-preserving localized regression cannot slip
+# past these the way it could the statistics above)
+GOLDEN_SLICES = {
+    "out[1, 8, 8:16, 0]": [-0.0407108, -0.0476009, -0.0493488, -0.0511725,
+                           -0.030732, -0.0372859, -0.0420328, -0.0346445],
+    "logits[0, 4, 4, 0, :8]": [0.0734313, 0.0239397, -0.0228866, 0.0054694,
+                               -0.0122528, 0.0328317, -0.01549, -0.0052193],
+    "lq[2, 16, 3:9, 5]": [0.0502385, 0.0415644, 0.0477406, 0.0425017,
+                          0.0432611, 0.0449567],
+    "codes[1, 7, :12, 0]": [21] * 12,
+}
+
+
+pytestmark = pytest.mark.quick
 
 
 def _deterministic_variables(mod, x):
@@ -59,3 +75,14 @@ def test_frozen_golden_outputs():
     np.testing.assert_allclose(float(lq.mean()), GOLDEN["lq_mean"],
                                atol=1e-4)
     assert int(jnp.argmax(logits, -1).sum()) == GOLDEN["codes_sum"]
+
+    np.testing.assert_allclose(np.asarray(out[1, 8, 8:16, 0], np.float64),
+                               GOLDEN_SLICES["out[1, 8, 8:16, 0]"], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logits[0, 4, 4, 0, :8], np.float64),
+                               GOLDEN_SLICES["logits[0, 4, 4, 0, :8]"],
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lq[2, 16, 3:9, 5], np.float64),
+                               GOLDEN_SLICES["lq[2, 16, 3:9, 5]"], atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(logits, -1)[1, 7, :12, 0]),
+        GOLDEN_SLICES["codes[1, 7, :12, 0]"])

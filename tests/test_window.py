@@ -1,11 +1,15 @@
 """Window geometry: partition/reverse round-trip + parity with the oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pgtformer_tpu.ops.window import (
     window_partition, window_reverse, relative_position_index,
     shifted_window_mask, effective_window_shift)
+
+
+pytestmark = pytest.mark.quick
 
 
 def test_partition_reverse_roundtrip():
