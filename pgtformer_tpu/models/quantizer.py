@@ -48,6 +48,13 @@ def compute_distances(weight: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def find_nearest_embedding(weight: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    if jax.default_backend() == "tpu":
+        # fused VMEM lookup: the [N, n_embed] distance matrix never reaches
+        # HBM (ops/pallas_vq.py; falls back to XLA off-TPU / odd geometry)
+        from pgtformer_tpu.ops.pallas_vq import nearest_code_pallas
+        lead = x.shape[:-1]
+        idx = nearest_code_pallas(x.reshape(-1, x.shape[-1]), weight[:-1])
+        return idx.reshape(lead)
     return jnp.argmin(compute_distances(weight, x), axis=-1)
 
 

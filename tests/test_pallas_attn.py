@@ -171,3 +171,23 @@ def test_dense_mha_matches_xla_interpret():
     # kernel computes in bf16 matmuls with fp32 softmax
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_vq_nearest_code_matches_xla_interpret():
+    """Fused VQ nearest-code kernel == XLA argmin over full distances."""
+    from pgtformer_tpu.ops.pallas_vq import nearest_code_pallas
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2048, 64)).astype(np.float32))
+    codes = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+
+    d = (jnp.sum(codes * codes, -1) + jnp.sum(x * x, -1, keepdims=True)
+         - 2.0 * (x @ codes.T))
+    ref = np.asarray(jnp.argmin(d, axis=-1))
+
+    out = np.asarray(nearest_code_pallas(x, codes, interpret=True))
+    agreement = (out == ref).mean()
+    assert agreement > 0.999, agreement  # near-tie rounding only
+
+    # odd geometry takes the XLA fallback and must be exact
+    out2 = np.asarray(nearest_code_pallas(x[:100], codes, interpret=True))
+    np.testing.assert_array_equal(out2, ref[:100])
