@@ -75,7 +75,6 @@ class VideoRestorer:
         if use_pallas is None:
             # fused kernels on TPU; XLA path elsewhere (pallas interpret on
             # CPU would be pathologically slow)
-            import jax
             use_pallas = jax.default_backend() not in ("cpu",)
         self.cfg = cfg
         self.w = float(w)
@@ -99,7 +98,9 @@ class VideoRestorer:
             rep = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
             shard_windows = lambda a: jax.lax.with_sharding_constraint(a, data)
-            self.variables = jax.device_put(variables, rep)
+            if not any(isinstance(l, jax.ShapeDtypeStruct)
+                       for l in jax.tree.leaves(variables)):
+                self.variables = jax.device_put(variables, rep)
 
         def encode_frames(variables, frames_u8):
             """[F, H, W, 3]u8 -> per-frame feature pytree (pos, trunk, skips)."""
