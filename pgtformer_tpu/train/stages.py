@@ -184,8 +184,12 @@ class Stage1Trainer:
 
     def init_state(self, rng: jax.Array, sample_gt: jnp.ndarray) -> TrainState:
         rng, r1, r2, r3 = jax.random.split(rng, 4)
-        g_vars = self.model.init({"params": r1, "restart": r3}, sample_gt)
-        d_vars = self.disc.init(r2, _flat_frames(sample_gt), train=False)
+        # jitted init: eager init of the full 512px model over the axon TPU
+        # tunnel pays ~1ms RPC per op (many minutes); jit makes it one call
+        g_vars = jax.jit(lambda a, b: self.model.init(
+            {"params": a, "restart": b}, sample_gt))(r1, r3)
+        d_vars = jax.jit(lambda k: self.disc.init(
+            k, _flat_frames(sample_gt), train=False))(r2)
         g = GeneratorState(
             params=g_vars["params"], ema_params=ema_init(g_vars["params"]),
             opt_state=self.opt_g.init(g_vars["params"]),
@@ -373,9 +377,10 @@ class PGTFormerTrainer:
         if student_variables is None:
             # always init the FULL structure (w>0, not code_only) so stage-II
             # checkpoints carry the frozen decoder/quantizer like the
-            # reference's (its stage-II state dicts contain every module)
-            student_variables = self.model.init(
-                {"params": r1}, sample_lq, w=1.0, code_only=False)
+            # reference's (its stage-II state dicts contain every module);
+            # jitted: eager init over the axon tunnel is minutes of per-op RPC
+            student_variables = jax.jit(lambda k: self.model.init(
+                {"params": k}, sample_lq, w=1.0, code_only=False))(r1)
         self.teacher_variables = teacher_variables
         g_params = student_variables["params"]
         self._opts = self._build_opts(g_params)
@@ -389,7 +394,8 @@ class PGTFormerTrainer:
             batch_stats=student_variables.get("batch_stats"))
         d = None
         if self.hp.use_gan:
-            d_vars = self.disc.init(r2, _flat_frames(sample_lq), train=False)
+            d_vars = jax.jit(lambda k: self.disc.init(
+                k, _flat_frames(sample_lq), train=False))(r2)
             d = DiscriminatorState(
                 params=d_vars["params"],
                 opt_state=opt_d.init(d_vars["params"]),

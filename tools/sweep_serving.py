@@ -1,0 +1,72 @@
+"""Sweep the serving-step window batch (and pallas on/off) for
+frames/s/chip — the knob bench.py fixes at B=8.
+
+    python tools/sweep_serving.py --batches 8 12 16 [--no-pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(B: int, use_pallas: bool, iters: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+    from pgtformer_tpu.config import RELEASE_PGTFORMER
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+    from pgtformer_tpu.pipeline import VideoRestorer
+
+    cfg = RELEASE_PGTFORMER
+    model = PGTFormer(cfg, dtype=jnp.bfloat16, use_pallas=use_pallas)
+    res = cfg.vqvae.ddconfig.resolution
+    T = cfg.vqvae.tf
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, T, res, res, 3), jnp.float32),
+                           w=1.0))
+    rng = np.random.default_rng(0)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(rng.normal(scale=0.02, size=s.shape)
+                              .astype(s.dtype))
+        if np.issubdtype(s.dtype, np.floating)
+        else jnp.zeros(s.shape, s.dtype), shapes)
+
+    restorer = VideoRestorer(variables, cfg, w=1.0, batch_windows=B,
+                             dtype=jnp.bfloat16, use_pallas=use_pallas)
+    chunk = rng.integers(0, 256, (B, res, res, 3), dtype=np.uint8)
+    restorer.prime(chunk[0])
+    tail0 = restorer._tail
+
+    out, tail = restorer._step(restorer.variables, tail0, jnp.asarray(chunk))
+    np.asarray(out[0, 0, 0, :1])
+    best = float("inf")
+    for _ in range(3):
+        tail = tail0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, tail = restorer._step(restorer.variables, tail,
+                                       jnp.asarray(chunk))
+        np.asarray(out[0, 0, 0, :1])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return B / best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[8, 12, 16])
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+    for B in args.batches:
+        fps = measure(B, not args.no_pallas)
+        print(f"B={B:3d} pallas={not args.no_pallas}: {fps:6.2f} frames/s")
+
+
+if __name__ == "__main__":
+    main()
