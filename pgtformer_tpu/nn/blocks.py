@@ -86,9 +86,70 @@ class ResnetBlock(nn.Module):
         return out
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter container with nn.Conv's exact names/shapes/inits, so the
+    torch-checkpoint port path is identical whether or not the subpixel
+    rewrite is active."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def _subpixel_up_conv(x: jnp.ndarray, k3: jnp.ndarray, bias: jnp.ndarray,
+                      dtype) -> jnp.ndarray:
+    """conv3x3(nearest_up2(x)) as four 2x2 convs on the source grid.
+
+    Under nearest-2x, output pixel (2i+a, 2j+b) taps source rows
+    {i-1: k[0], i: k[1]+k[2]} for a=0 and {i: k[0]+k[1], i+1: k[2]} for
+    a=1 (same along columns) — so the 3x3 kernel pre-sums into one 2x2
+    kernel per parity class.  Exact up to fp32 summation order.
+    """
+    N, H, W, C = x.shape
+
+    def pair(k, a, axis):
+        s0, s1, s2 = (jnp.take(k, i, axis=axis) for i in range(3))
+        if a == 0:
+            return jnp.stack([s0, s1 + s2], axis=axis)
+        return jnp.stack([s0 + s1, s2], axis=axis)
+
+    k3 = k3.astype(jnp.float32)
+    xc = x.astype(dtype)
+    dn = jax.lax.conv_dimension_numbers(xc.shape, (2, 2, C, C),
+                                        ("NHWC", "HWIO", "NHWC"))
+    outs = []
+    for a in (0, 1):
+        ka = pair(k3, a, 0)
+        for b in (0, 1):
+            kab = pair(ka, b, 1).astype(dtype)
+            pad = [((1, 0) if a == 0 else (0, 1)),
+                   ((1, 0) if b == 0 else (0, 1))]
+            o = jax.lax.conv_general_dilated(
+                xc, kab, window_strides=(1, 1), padding=pad,
+                dimension_numbers=dn)
+            outs.append(o + bias.astype(dtype))
+    stacked = jnp.stack(outs).reshape(2, 2, N, H, W, C)
+    return stacked.transpose(2, 3, 0, 4, 1, 5).reshape(N, 2 * H, 2 * W, C)
+
+
 class Upsample(nn.Module):
-    """Nearest-2x upsample + optional conv3x3 (reference tdcrqvae3_arch.py:34-52)."""
+    """Nearest-2x upsample + optional conv3x3 (reference tdcrqvae3_arch.py:34-52).
+
+    `subpixel` computes the mathematically identical result as four 2x2
+    convs on the PRE-upsample grid: under nearest-2x, the 3x3 taps of each
+    output-parity class hit at most 2x2 unique source pixels, so the 3x3
+    weights pre-sum into four 2x2 kernels — 16 vs 36 MACs per output pixel
+    (2.25x fewer FLOPs) and no 4x-size intermediate in HBM.  Parameters
+    stay the stock 3x3 conv kernel (checkpoint-port parity); the 2x2
+    kernels are derived at trace time.
+    """
     with_conv: bool = True
+    subpixel: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,9 +158,14 @@ class Upsample(nn.Module):
         if x.ndim == 5:
             B, T, H, W, C = shape
             x = x.reshape(B * T, H, W, C)
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        if self.with_conv:
-            x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        if self.with_conv and self.subpixel:
+            k3, b = _Conv3x3Params(x.shape[-1], name="conv")()
+            x = _subpixel_up_conv(x, k3, b, self.dtype)
+        else:
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            if self.with_conv:
+                x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype,
+                            name="conv")(x)
         if len(shape) == 5:
             x = x.reshape(shape[0], shape[1], shape[2] * 2, shape[3] * 2, -1)
         return x

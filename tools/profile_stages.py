@@ -13,9 +13,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def jax_sync(out):
@@ -26,15 +30,26 @@ def jax_sync(out):
     np.asarray(leaf.reshape(-1)[:1])
 
 
-def timeit(fn, args, iters, label):
-    out = fn(*args)
+def timeit(fn, args, iters, label, peak_tfs=197.0):
+    # AOT: one compile serves execution AND the FLOP count
+    compiled = fn.lower(*args).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+    except Exception:
+        fl = 0.0
+    out = compiled(*args)
     jax_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = compiled(*args)
     jax_sync(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{label:38s} {dt * 1e3:9.2f} ms")
+    mfu = fl / dt / (peak_tfs * 1e12) if fl else 0.0
+    print(f"{label:38s} {dt * 1e3:9.2f} ms   "
+          f"{fl / 1e9:8.1f} GF   mfu {mfu:5.3f}")
     return dt
 
 
