@@ -153,6 +153,51 @@ def port_torch_state_dict(variables: Mapping[str, Any],
     return new_vars
 
 
+def _to_torch_leaf(leaf_name: str, value) -> np.ndarray:
+    """Inverse of _to_flax_leaf (flax layout -> torch layout)."""
+    v = np.asarray(value)
+    if leaf_name == "kernel":
+        if v.ndim == 4:                      # conv HWIO -> OIHW
+            v = v.transpose(3, 2, 0, 1)
+        elif v.ndim == 2:                    # linear (I,O) -> (O,I)
+            v = v.T
+    elif leaf_name == "in_proj_kernel":
+        v = v.T                              # (C, 3C) -> (3C, C)
+    return v
+
+
+def export_torch_state_dict(variables: Mapping[str, Any],
+                            prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of port_torch_state_dict: emit a reference-format state_dict
+    (numpy values) from our variable trees — the `push_to_hub` analog
+    (reference tdcrqvae3_arch.py:711 PyTorchModelHubMixin).  Buffers the
+    reference recomputes from geometry (relative_position_index, attn
+    masks) are deliberately not emitted."""
+    sd: Dict[str, np.ndarray] = {}
+    for col, tree in variables.items():
+        flat = traverse_util.flatten_dict(tree)
+        for path, val in flat.items():
+            key = prefix + flax_path_to_torch_key(
+                col, tuple(str(p) for p in path))
+            sd[key] = _to_torch_leaf(str(path[-1]), val)
+    return sd
+
+
+def save_reference_checkpoint(variables: Mapping[str, Any], path: str,
+                              param_key: str | None = "params_ema") -> None:
+    """Write variables as a reference-consumable checkpoint: BasicSR-style
+    .pth ({param_key: state_dict}) or .safetensors (flat)."""
+    sd = export_torch_state_dict(variables)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import save_file
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+        return
+    import torch
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v))
+           for k, v in sd.items()}
+    torch.save({param_key: tsd} if param_key else tsd, path)
+
+
 def port_subtree(variables: Mapping[str, Any], subtree: str,
                  state_dict: Mapping[str, np.ndarray],
                  strict: bool = True) -> Dict[str, Any]:

@@ -42,3 +42,66 @@ def test_port_standalone_bisenet_into_conditionnet(reference):
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(),
         atol=5e-4, rtol=1e-3)
+
+
+def test_export_roundtrip_and_reference_load(reference, tmp_path):
+    """export_torch_state_dict (push_to_hub analog): our variables ->
+    reference-format state_dict -> (a) loads into the LIVE torch reference
+    with no unexpected keys, (b) round-trips through our own porter
+    identically, (c) survives the .pth file format."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    import yaml
+    from pgtformer_tpu.config import pgtformer_config_from_options
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+    from pgtformer_tpu.convert.torch_port import (
+        export_torch_state_dict, port_torch_state_dict,
+        save_reference_checkpoint, load_torch_checkpoint)
+
+    with open("/root/reference/options/"
+              "release_test_stage_IIII_dont_need_align_version.yml") as f:
+        opt = yaml.safe_load(f)
+    cfg = pgtformer_config_from_options(opt)
+    mod = PGTFormer(cfg)
+    x = jnp.zeros((1, 3, 512, 512, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: mod.init({"params": jax.random.PRNGKey(0)}, x, w=1.0))
+    rng = np.random.default_rng(5)
+    variables = jax.tree.map(
+        lambda s: np.asarray(rng.normal(scale=0.02, size=s.shape), s.dtype)
+        if np.issubdtype(s.dtype, np.floating)
+        else np.zeros(s.shape, s.dtype), shapes)
+
+    sd = export_torch_state_dict(variables)
+
+    # (a) the torch reference accepts every exported key
+    net_kwargs = dict(opt["network_g"])
+    net_kwargs.pop("type")
+    ref = reference.pgtformer.PGTFormer(**net_kwargs)
+    res = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert res.unexpected_keys == [], res.unexpected_keys[:10]
+    # missing keys must all be recomputed-from-geometry buffers
+    for k in res.missing_keys:
+        assert ("relative_position_index" in k or "attn_mask" in k
+                or "mask" in k), k
+
+    # (b) round-trip through our own porter is exact
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    back = port_torch_state_dict(zeros, sd)
+    for col in variables:
+        a = jax.tree_util.tree_leaves(variables[col])
+        b = jax.tree_util.tree_leaves(back[col])
+        for x1, x2 in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x2), np.asarray(x1))
+
+    # (c) .pth file format (params_ema convention)
+    p = str(tmp_path / "export.pth")
+    save_reference_checkpoint(variables, p)
+    sd2 = load_torch_checkpoint(p)
+    assert set(sd2) == set(sd)
+    np.testing.assert_array_equal(
+        sd2["feat_emb.weight"], sd["feat_emb.weight"])
