@@ -28,13 +28,129 @@ from pgtformer_tpu.config import PGTFormerConfig
 from pgtformer_tpu.models.vae import Encoder3D, Decoder3D
 from pgtformer_tpu.models.quantizer import RQBottleneck
 from pgtformer_tpu.models.parser import BiSeNet
-from pgtformer_tpu.nn.blocks import ResnetBlock
+from pgtformer_tpu.nn.blocks import group_norm
 from pgtformer_tpu.nn.transformer import TransformerSALayer
 from pgtformer_tpu.ops.image import (
     imagenet_normalize, adaptive_instance_normalization)
 from pgtformer_tpu.registry import ARCH_REGISTRY
 
 Dtype = Any
+
+
+class _AffineParams(nn.Module):
+    """GroupNorm-compatible affine params (scale/bias) without the module."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return s, b
+
+
+class _ConvParams(nn.Module):
+    """nn.Conv-compatible params (kernel/bias) without the module."""
+    features_in: int
+    features_out: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.ksize, self.ksize, self.features_in,
+                        self.features_out), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features_out,),
+                       jnp.float32)
+        return k, b
+
+
+def _conv2d(x, k, strides=(1, 1), padding=1):
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    pad = [(padding, padding)] * 2 if isinstance(padding, int) else padding
+    return jax.lax.conv_general_dilated(x, k, strides, pad,
+                                        dimension_numbers=dn)
+
+
+class _SplitInResnetBlock(nn.Module):
+    """ResnetBlock whose input is a *virtual concatenation* of several
+    channel groups, evaluated without ever materializing the concat.
+
+    `conv(concat(parts)) == sum_p conv_p(part)` with the kernel sliced along
+    its input-channel axis, and the GroupNorm statistics of the concat are
+    assembled from per-part per-channel spatial sums — so the parameter tree
+    (norm1/conv1/norm2/conv2/nin_shortcut) is identical to ResnetBlock on
+    the concatenated input (checkpoint-port parity), but XLA never has to
+    build (and lane-pad) the wide [., ., ., sum(C_p)] intermediate.  The
+    channel-concat feeding `Fuse_sft_block`'s encode_enc is one of the
+    hottest layout costs in the serving step (~3 GB/step of pad traffic at
+    res 128 alone).
+    """
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        splits = tuple(int(p.shape[-1]) for p in parts)
+        in_ch = sum(splits)
+        out_ch = self.out_channels
+        groups, eps = 32, 1e-6
+        cg = in_ch // groups
+
+        s1, b1 = _AffineParams(in_ch, name="norm1")()
+        k1, cb1 = _ConvParams(in_ch, out_ch, name="conv1")()
+        n, h, w = parts[0].shape[:3]
+
+        # GroupNorm stats of the virtual concat from per-part channel sums
+        f32 = jnp.float32
+        ch_s1 = jnp.concatenate(
+            [jnp.sum(p.astype(f32), axis=(1, 2)) for p in parts], axis=-1)
+        ch_s2 = jnp.concatenate(
+            [jnp.sum(jnp.square(p.astype(f32)), axis=(1, 2)) for p in parts],
+            axis=-1)                                   # [N, in_ch]
+        cnt = h * w * cg
+        mu = ch_s1.reshape(n, groups, cg).sum(-1) / cnt
+        var = ch_s2.reshape(n, groups, cg).sum(-1) / cnt - mu * mu
+        inv = jax.lax.rsqrt(var + eps)
+        mu_c = jnp.repeat(mu, cg, axis=1)              # [N, in_ch]
+        inv_c = jnp.repeat(inv, cg, axis=1)
+        a_c = inv_c * s1[None]
+        b_c = b1[None] - mu_c * a_c
+
+        hsum = None
+        off = 0
+        for p, cp in zip(parts, splits):
+            sl = slice(off, off + cp)
+            hp = (p.astype(f32) * a_c[:, None, None, sl]
+                  + b_c[:, None, None, sl])
+            hp = jax.nn.silu(hp).astype(self.dtype)
+            t = _conv2d(hp, k1[:, :, sl, :].astype(self.dtype))
+            hsum = t if hsum is None else hsum + t
+            off += cp
+        hh = hsum + cb1.astype(self.dtype)
+
+        hh = group_norm(self.dtype, "norm2")(hh)
+        hh = jax.nn.silu(hh)
+        hh = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                     name="conv2")(hh)
+
+        if in_ch != out_ch:
+            ks, bs = _ConvParams(in_ch, out_ch, ksize=1,
+                                 name="nin_shortcut")()
+            ssum = None
+            off = 0
+            for p, cp in zip(parts, splits):
+                t = _conv2d(p.astype(self.dtype),
+                            ks[:, :, off:off + cp, :].astype(self.dtype),
+                            padding=0)
+                ssum = t if ssum is None else ssum + t
+                off += cp
+            shortcut = ssum + bs.astype(self.dtype)
+        else:
+            shortcut = sum(parts) if len(parts) > 1 else parts[0]
+        return shortcut + hh
 
 
 class FuseSftBlock(nn.Module):
@@ -48,6 +164,10 @@ class FuseSftBlock(nn.Module):
     frame (its 1x1 folds are the only frame-mixing ops), but the heavy SFT
     convs (encode_enc resblock + scale/shift 3x3 heads) run on the kept
     middle frame only — exact for the middle frame, skips ~2/3 of the cost.
+
+    Channel-concats are evaluated *virtually* (split-kernel convs; see
+    `_SplitInResnetBlock`) — parameters match the reference layout exactly,
+    but no wide concatenated tensor is ever materialized.
     """
     in_ch: int
     out_ch: int
@@ -73,9 +193,14 @@ class FuseSftBlock(nn.Module):
             f = f.reshape(B, T, H, W, self.tcc).transpose(0, 2, 3, 1, 4)
             return f.reshape(B, H, W, T * self.tcc)
 
-        fut = jnp.concatenate([fold(enct), fold(dect)], axis=-1)
-        fut = nn.Conv(T * self.tcc, (1, 1), dtype=self.dtype,
-                      name="tfusion0")(fut)
+        # virtual concat: conv(cat(a, b)) == conv_a(a) + conv_b(b)
+        ttc = T * self.tcc
+        kf, bf = _ConvParams(2 * ttc, ttc, ksize=1, name="tfusion0")()
+        fut = (_conv2d(fold(enct), kf[:, :, :ttc, :].astype(self.dtype),
+                       padding=0)
+               + _conv2d(fold(dect), kf[:, :, ttc:, :].astype(self.dtype),
+                         padding=0)
+               + bf.astype(self.dtype))
         fut = fut.reshape(B, H, W, T, self.tcc).transpose(0, 3, 1, 2, 4)
 
         t_out = T
@@ -89,9 +214,9 @@ class FuseSftBlock(nn.Module):
         fut = fut.reshape(B * t_out, H, W, self.tcc)
         fut = nn.Conv(self.tcc, (1, 1), dtype=self.dtype, name="tfusion1")(fut)
 
-        feat = ResnetBlock(out_channels=self.out_ch, dtype=self.dtype,
-                           name="encode_enc")(
-            jnp.concatenate([enc, dec, fut], axis=-1))
+        feat = _SplitInResnetBlock(out_channels=self.out_ch,
+                                   dtype=self.dtype,
+                                   name="encode_enc")([enc, dec, fut])
 
         def sft_head(name):
             h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,

@@ -153,7 +153,7 @@ def fused_sw_block_tokens(x: jnp.ndarray,
                           mask: Optional[np.ndarray],
                           num_heads: int,
                           n_windows_per_image: int,
-                          wblk: int = 16,
+                          wblk: Optional[int] = None,
                           interpret: bool = False) -> jnp.ndarray:
     """Apply the fused block to window tokens (differentiable).
 
@@ -166,6 +166,12 @@ def fused_sw_block_tokens(x: jnp.ndarray,
     through `sw_block_tokens_xla`, so grads w.r.t. x, the block params and
     rel_bias equal the XLA path's exactly.
     """
+
+    if wblk is None:
+        # 32 windows/step measures ~10% faster than 16 at C<=256; larger
+        # tiles exceed the 16 MB scoped-VMEM budget (and C=512 already
+        # does at 32)
+        wblk = 32 if x.shape[-1] <= 256 else 16
 
     def fwd_impl(x, p, rb):
         return _pallas_sw_block(x, p, rb, mask, num_heads,
