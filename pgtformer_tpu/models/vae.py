@@ -14,7 +14,7 @@ Deployed config (options/release_test_stage_IIII_dont_need_align_version.yml:70-
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -238,6 +238,56 @@ class Decoder3D(nn.Module):
                 h = h[:, T // 2:T // 2 + 1]
                 t_cur = 1
             if i_level != 0:
+                # Opt-in (PGT_FUSED_TAIL=1 full chain / "up" upsample-only):
+                # in the production pipeline graph XLA's in-context conv
+                # lowering beats these kernels (29.85 vs 28.7/28.5 fps
+                # measured A/B on chip), so the default is off; standalone
+                # restore graphs DO win ~37 ms/6 windows with "1" — see
+                # BASELINE.md round-2 notes.
+                import os
+                tail_mode = os.environ.get("PGT_FUSED_TAIL", "0")
+                pallas_ok = (self.use_pallas and not self.is_initializing()
+                             and cfg.resamp_with_conv
+                             and h.shape[2] % 8 == 0
+                             and h.shape[-1] % 128 == 0)
+                fused_tail_ok = (
+                    tail_mode == "1" and pallas_ok
+                    and i_level == 1 and t_cur == 1
+                    and cfg.num_res_blocks == 1
+                    and not self.give_pre_end
+                    and h.shape[2] % 16 == 0
+                    and (2 * curr_res) not in cfg.attn_resolutions
+                    and (2 * curr_res) not in fuse_set)
+                if tail_mode == "up" and pallas_ok:
+                    # subpixel upsample as a Pallas kernel with direct
+                    # interleaved write (the XLA lowering of the phase
+                    # interleave is a chain of pad/concat passes)
+                    from pgtformer_tpu.ops.pallas_conv import (
+                        subpixel_up_conv3x3)
+                    p_up = self.variables["params"][
+                        f"up_{i_level}_upsample"]["conv"]
+                    B5, T5, H5, W5, C5 = h.shape
+                    y, _ = subpixel_up_conv3x3(
+                        h.reshape(B5 * T5, H5, W5, C5),
+                        p_up["kernel"], p_up["bias"], emit_stats=False)
+                    h = y.reshape(B5, T5, 2 * H5, 2 * W5, C5).astype(h.dtype)
+                    curr_res *= 2
+                    continue
+                if fused_tail_ok:
+                    # upsample + both level-0 resblocks + norm_out/silu as
+                    # one fused Pallas chain (see ops/pallas_conv.py) —
+                    # kills the separate GN-stats/SiLU/interleave HBM
+                    # passes of the highest-resolution per-frame tail
+                    from pgtformer_tpu.ops.pallas_conv import (
+                        fused_decoder_tail)
+                    params = self.variables["params"]
+                    B5, T5 = h.shape[:2]
+                    y = fused_decoder_tail(
+                        h.reshape(B5 * T5, *h.shape[2:]),
+                        params["up_1_upsample"], params["up_0_block_0"],
+                        params["up_0_block_1"], params["norm_out"])
+                    return nn.Conv(cfg.out_ch, (3, 3), padding=1,
+                                   dtype=self.dtype, name="conv_out")(y)
                 h = Upsample(with_conv=cfg.resamp_with_conv, dtype=self.dtype,
                              name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
