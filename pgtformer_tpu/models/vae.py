@@ -14,6 +14,7 @@ Deployed config (options/release_test_stage_IIII_dont_need_align_version.yml:70-
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, List, Optional, Tuple
 
 import jax
@@ -244,7 +245,6 @@ class Decoder3D(nn.Module):
                 # measured A/B on chip), so the default is off; standalone
                 # restore graphs DO win ~37 ms/6 windows with "1" — see
                 # BASELINE.md round-2 notes.
-                import os
                 tail_mode = os.environ.get("PGT_FUSED_TAIL", "0")
                 pallas_ok = (self.use_pallas and not self.is_initializing()
                              and cfg.resamp_with_conv
