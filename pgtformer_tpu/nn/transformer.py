@@ -51,14 +51,24 @@ class MultiHeadSelfAttention(nn.Module):
         kern = in_kernel.astype(self.dtype)
         bias = in_bias.astype(self.dtype)
 
-        qp = q @ kern[:, :C] + bias[:C]
-        kp = k @ kern[:, C:2 * C] + bias[C:2 * C]
+        if q is k:
+            # self-attention with q == k (the deployed path: q = k = x+pos):
+            # one packed matmul for both projections
+            qkp = q @ kern[:, :2 * C] + bias[:2 * C]
+            qp, kp = qkp[..., :C], qkp[..., C:]
+        else:
+            qp = q @ kern[:, :C] + bias[:C]
+            kp = k @ kern[:, C:2 * C] + bias[C:2 * C]
         vp = v @ kern[:, 2 * C:] + bias[2 * C:]
 
         scale = hd ** -0.5
         if (self.use_pallas and not self.is_initializing()
                 and Nq == Nk and Nq % 8 == 0):
             from pgtformer_tpu.ops.flash_attn import dense_mha
+            # NOTE: the transpose-free "bnhd" kernel layout exists
+            # (ops/flash_attn.py) but its per-head 64-lane 4D reads hit
+            # Mosaic's pathological-compile path (>30 min); the explicit
+            # head transpose costs ~0.2 ms/copy and compiles in seconds.
             to_heads = lambda a, N: a.reshape(B, N, h, hd).transpose(
                 (0, 2, 1, 3))
             out = dense_mha(to_heads(qp, Nq), to_heads(kp, Nk),

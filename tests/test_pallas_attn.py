@@ -172,6 +172,32 @@ def test_dense_mha_matches_xla_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
 
+    # heads-minor layout (bnhd): same math, no head transposes in HBM
+    t = lambda a: a.transpose(0, 2, 1, 3)   # [B,H,N,D] -> [B,N,H,D]
+    out2 = dense_mha(t(q), t(k), t(v), scale=scale, block_q=32,
+                     layout="bnhd", interpret=True)
+    np.testing.assert_allclose(np.asarray(t(out2)), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    # bnhd grad parity (custom VJP through the transposed reference)
+    w = jnp.asarray(np.random.default_rng(9).normal(
+        size=(B, N, H, D)).astype(np.float32))
+    def loss(q, k, v):
+        return jnp.sum(dense_mha(q, k, v, scale=scale, block_q=32,
+                                 layout="bnhd", interpret=True) * w)
+    def ref_loss(q, k, v):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(o * w)
+    g_f = jax.grad(loss, argnums=(0, 1, 2))(t(q), t(k), t(v))
+    g_r = jax.grad(ref_loss, argnums=(0, 1, 2))(t(q), t(k), t(v))
+    for a, b in zip(g_r, g_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
+
 
 def test_vq_nearest_code_matches_xla_interpret():
     """Fused VQ nearest-code kernel == XLA argmin over full distances."""
