@@ -16,6 +16,7 @@ Layout transforms:
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Dict, Mapping, Tuple
 
@@ -275,3 +276,42 @@ def load_torch_checkpoint(path: str, param_key: str | None = "params_ema"):
         obj = obj[param_key]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in obj.items()}
+
+
+def push_to_hub(variables: Mapping[str, Any], repo_id: str,
+                staging_dir: str | None = None, cfg=None,
+                dry_run: bool = False, private: bool = True) -> str:
+    """Publish variables as a reference-consumable HF Hub model repo
+    (the `push_to_hub` analog of the reference's PyTorchModelHubMixin,
+    tdcrqvae3_arch.py:711).
+
+    Stages `pytorch_model.bin` (flat state_dict, exactly what the mixin's
+    `from_pretrained` loads — inference.py:118) plus a minimal
+    `config.json` into `staging_dir`, then uploads the folder.  With
+    ``dry_run=True`` (or no network) it stops after staging and returns the
+    staged directory — the upload step is `huggingface_hub.upload_folder`,
+    nothing framework-specific.
+    """
+    import json
+    import tempfile
+
+    staging_dir = staging_dir or tempfile.mkdtemp(prefix="pgt_hub_")
+    os.makedirs(staging_dir, exist_ok=True)
+    sd = export_torch_state_dict(variables)
+    import torch
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()},
+               os.path.join(staging_dir, "pytorch_model.bin"))
+    meta = {"model_type": "PGTFormer", "framework": "pgtformer_tpu"}
+    if cfg is not None:
+        nd = getattr(cfg, "to_network_g", None)
+        meta["network_g"] = nd() if callable(nd) else repr(cfg)
+    with open(os.path.join(staging_dir, "config.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    if dry_run:
+        return staging_dir
+    from huggingface_hub import HfApi
+    api = HfApi()
+    api.create_repo(repo_id, private=private, exist_ok=True)
+    api.upload_folder(folder_path=staging_dir, repo_id=repo_id)
+    return staging_dir

@@ -127,6 +127,8 @@ def msrl(pred: np.ndarray, gt: np.ndarray, landmarks: np.ndarray,
     for (x, y) in np.asarray(landmarks, np.float64):
         for s in scales:
             half = int(round(base_crop / s)) // 2
+            if 2 * half > min(H, W):
+                continue  # crop larger than the image: no valid placement
             x0 = int(np.clip(round(x) - half, 0, W - 2 * half))
             y0 = int(np.clip(round(y) - half, 0, H - 2 * half))
             a = pred[y0:y0 + 2 * half, x0:x0 + 2 * half]

@@ -87,6 +87,7 @@ def calculate_lpips_fn(torch_state_dict=None, weights_path=None):
         b = jnp.asarray(img2, jnp.float32)[None]
         return float(fn(a, b)[0])
 
+    metric.random_weights = getattr(fn, "random_weights", False)
     return metric
 
 

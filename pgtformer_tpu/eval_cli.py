@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--lpips-weights", default=None,
                         help="lpips.LPIPS(net='vgg') state_dict for "
                              "metric-grade LPIPS (random VGG otherwise)")
+    parser.add_argument("--arcface-weights", default=None,
+                        help="insightface arcface_torch iresnet50 "
+                             "backbone.pth for metric-grade Deg (the "
+                             "gray-patch proxy embedder otherwise)")
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--face-metrics", action="store_true",
                         help="also emit Deg/LMD/TLME/MSRL (reference "
@@ -82,8 +86,22 @@ def main(argv=None):
         cond_vars = {"params": variables["params"]["conditionnet"]}
         if "batch_stats" in variables:
             cond_vars["batch_stats"] = variables["batch_stats"]["conditionnet"]
-        face = {"detector": ParserLandmarkDetector(cond_vars),
-                "embedder": GrayPatchEmbedder(),
+        detector = ParserLandmarkDetector(cond_vars)
+        # column labels mark non-metric-grade fallbacks at the output
+        # surface so no table can be mistaken for paper-comparable numbers
+        # (MSRL has no public definition at all — eval/landmarks.py)
+        labels = {"lmd": "lmd(parser-lm)", "tlme": "tlme(parser-lm)",
+                  "msrl": "msrl(own-def)"}
+        if args.arcface_weights:
+            from pgtformer_tpu.eval.arcface import ArcFaceEmbedder
+            embedder = ArcFaceEmbedder(args.arcface_weights,
+                                       detector=detector)
+            labels["deg"] = "deg"          # metric-grade
+        else:
+            embedder = GrayPatchEmbedder()
+            labels["deg"] = "deg(proxy-embedder)"
+        face = {"detector": detector, "embedder": embedder,
+                "labels": labels,
                 "clip_lms": {}}  # clip -> list of (lm_pred, lm_gt)
 
     rows = []
@@ -126,7 +144,7 @@ def main(argv=None):
                 lg = np.stack([b for _, b in lms])
                 tlmes.append(temporal_landmark_error(lp, lg))
         if tlmes:
-            print(f"tlme: {np.mean(tlmes):.4f}")
+            print(f"{face['labels']['tlme']}: {np.mean(tlmes):.4f}")
         else:
             print("tlme: n/a (need >=2 frames per clip; lower inter-space)",
                   file=sys.stderr)
@@ -138,9 +156,11 @@ def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T,
     import cv2
     from pgtformer_tpu.eval.metrics import calculate_psnr, calculate_ssim
     gt = batch["gt"][i][T // 2]
+    lpips_key = ("lpips" if not getattr(lpips_metric, "random_weights",
+                                        False) else "lpips(random-vgg)")
     row = {"psnr": calculate_psnr(out_i, gt),
            "ssim": calculate_ssim(out_i, gt),
-           "lpips": lpips_metric(out_i, gt)}
+           lpips_key: lpips_metric(out_i, gt)}
     if niqe_fn is not None:
         row["niqe"] = niqe_fn(out_i)
     if face is not None:
@@ -150,7 +170,7 @@ def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T,
         clip = batch["path"][i].rsplit("/", 1)[0]
         face["clip_lms"].setdefault(clip, []).append(
             (fm.pop("_lm_pred"), fm.pop("_lm_gt")))
-        row.update(fm)
+        row.update({face["labels"].get(k, k): v for k, v in fm.items()})
     rows.append(row)
     if args.save_dir:
         import os

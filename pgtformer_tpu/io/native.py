@@ -100,7 +100,10 @@ class NativeVideoReader:
 class NativeVideoWriter:
     """codec: 'auto' (libx265 -> libx264 -> mpeg4), 'libx265' (reference
     output parity: CRF 18, hvc1 tag — reference inference.py:30-35),
-    'libx264', or 'mpeg4'."""
+    'libx264', or 'mpeg4'; an optional ':preset=<name>' suffix (e.g.
+    'libx265:preset=superfast') overrides the encoder speed preset.
+    An explicitly requested codec that the libav build lacks raises
+    (no silent substitution)."""
 
     def __init__(self, path: str, fps: float, size_hw: Tuple[int, int],
                  codec: str = "auto"):
@@ -111,7 +114,10 @@ class NativeVideoWriter:
         self._h = lib.vw_open2(path.encode(), w, h, float(fps),
                                codec.encode())
         if not self._h:
-            raise IOError(f"native writer: cannot open {path}")
+            raise IOError(
+                f"native writer: cannot open {path} with codec={codec!r} "
+                "(an explicitly requested encoder that is unavailable fails "
+                "rather than silently substituting another)")
 
     def write(self, rgb_frame: np.ndarray):
         f = np.ascontiguousarray(rgb_frame, np.uint8)

@@ -192,7 +192,11 @@ void* vw_open(const char* path, int w, int h, double fps) {
 }
 
 // codec_name: "libx265" (reference parity: -c:v libx265 -crf 18 -tag:v hvc1,
-// inference.py:30-35), "libx264", "mpeg4", or "auto" (= x265 -> x264 -> mpeg4)
+// inference.py:30-35), "libx264", "mpeg4", or "auto" (= x265 -> x264 -> mpeg4).
+// An optional ":preset=<name>" suffix (e.g. "libx265:preset=superfast")
+// overrides the encoder speed preset (default "fast").
+// An explicitly requested codec that is unavailable FAILS (nullptr) instead
+// of silently substituting another encoder.
 void* vw_open2(const char* path, int w, int h, double fps,
                const char* codec_name) {
   auto* wr = new Writer();
@@ -203,13 +207,27 @@ void* vw_open2(const char* path, int w, int h, double fps,
     delete wr;
     return nullptr;
   }
+  std::string name = codec_name ? codec_name : "auto";
+  std::string preset = "fast";
+  const auto colon = name.find(":preset=");
+  if (colon != std::string::npos) {
+    preset = name.substr(colon + 8);
+    name = name.substr(0, colon);
+  }
   const AVCodec* enc = nullptr;
-  const bool autopick = !codec_name || !std::strcmp(codec_name, "auto");
-  if (!autopick) enc = avcodec_find_encoder_by_name(codec_name);
-  if (!enc && (autopick || !std::strcmp(codec_name, "libx265")))
+  const bool autopick = name.empty() || name == "auto";
+  if (autopick) {
     enc = avcodec_find_encoder_by_name("libx265");
-  if (!enc) enc = avcodec_find_encoder_by_name("libx264");
-  if (!enc) enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    if (!enc) enc = avcodec_find_encoder_by_name("libx264");
+    if (!enc) enc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  } else {
+    enc = name == "mpeg4" ? avcodec_find_encoder(AV_CODEC_ID_MPEG4)
+                          : avcodec_find_encoder_by_name(name.c_str());
+  }
+  if (!enc) {
+    delete wr;
+    return nullptr;
+  }
   wr->stream = avformat_new_stream(wr->fmt, enc);
   wr->codec = avcodec_alloc_context3(enc);
   wr->codec->width = w;
@@ -220,13 +238,13 @@ void* vw_open2(const char* path, int w, int h, double fps,
   wr->codec->gop_size = 12;
   if (enc->id == AV_CODEC_ID_H264) {
     av_opt_set(wr->codec->priv_data, "crf", "18", 0);
-    av_opt_set(wr->codec->priv_data, "preset", "fast", 0);
+    av_opt_set(wr->codec->priv_data, "preset", preset.c_str(), 0);
     // no B-frames: streaming-friendly and avoids the mp4 edit-list
     // last-frame drop some demuxers exhibit with reordered streams
     wr->codec->max_b_frames = 0;
   } else if (enc->id == AV_CODEC_ID_HEVC) {
     av_opt_set(wr->codec->priv_data, "crf", "18", 0);
-    av_opt_set(wr->codec->priv_data, "preset", "fast", 0);
+    av_opt_set(wr->codec->priv_data, "preset", preset.c_str(), 0);
     av_opt_set(wr->codec->priv_data, "x265-params",
                "log-level=error:bframes=0", 0);
     wr->codec->max_b_frames = 0;

@@ -48,7 +48,17 @@ def compute_distances(weight: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def find_nearest_embedding(weight: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    if jax.default_backend() == "tpu":
+    """Nearest-code index per input vector.
+
+    On TPU this uses the fused Pallas lookup whose distance formulation can
+    break near-ties differently from `jnp.argmin` (parity test asserts
+    >99.9% agreement) — so code assignments are not bit-reproducible across
+    TPU/CPU backends.  Set ``PGT_EXACT_VQ=1`` to force the exact-XLA argmin
+    (e.g. when reproducing reference code sequences bit-for-bit).
+    """
+    import os
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("PGT_EXACT_VQ", "0") != "1"):
         # fused VMEM lookup: the [N, n_embed] distance matrix never reaches
         # HBM (ops/pallas_vq.py; falls back to XLA off-TPU / odd geometry)
         from pgtformer_tpu.ops.pallas_vq import nearest_code_pallas

@@ -246,7 +246,11 @@ class Decoder3D(nn.Module):
                 # restore graphs DO win ~37 ms/6 windows with "1" — see
                 # BASELINE.md round-2 notes.
                 tail_mode = os.environ.get("PGT_FUSED_TAIL", "0")
+                # bf16-only: the kernels compute in bf16 internally, so
+                # enabling them under fp32 serving would silently demote
+                # decoder-tail precision
                 pallas_ok = (self.use_pallas and not self.is_initializing()
+                             and self.dtype == jnp.bfloat16
                              and cfg.resamp_with_conv
                              and h.shape[2] % 8 == 0
                              and h.shape[-1] % 128 == 0)
@@ -361,9 +365,31 @@ class TDCRQVAE3(nn.Module):
         return self.decoder(self.post_quant_conv(z_q))
 
     def get_codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x [B, T, H, W, 3] -> codes.
+
+        Accepts the windowed clip layout directly — the analog of reference
+        `get_codesbt` (tdcrqvae3_arch.py:795-800); the reference's
+        `get_codes` (:786-792) instead takes the flattened [B*T, C, H, W]
+        batch and re-folds by `self.t` — see `get_codes_flat`."""
         z_e = self.encode(x)
         _, _, codes = self.quantizer(z_e)
         return codes
+
+    def get_codesbt(self, xs: jnp.ndarray) -> jnp.ndarray:
+        """Reference-named alias (tdcrqvae3_arch.py:795-800): codes for an
+        explicit [B, T, H, W, 3] clip.  (The reference's own get_codesbt
+        flattens to 4D before calling its 5D encoder and crashes as
+        shipped; this implements the evident intent, which matches its
+        working `get_codes` on the flattened batch.)"""
+        return self.get_codes(xs)
+
+    def get_codes_flat(self, x_flat: jnp.ndarray) -> jnp.ndarray:
+        """Codes for a flattened [B*T, H, W, 3] frame batch, re-folded by
+        the configured window length (reference `get_codes`,
+        tdcrqvae3_arch.py:786-792)."""
+        BT, H, W, C = x_flat.shape
+        T = self.cfg.tf
+        return self.get_codes(x_flat.reshape(BT // T, T, H, W, C))
 
     def get_soft_codes(self, x: jnp.ndarray, temp: float = 1.0,
                        stochastic: bool = False):

@@ -90,13 +90,23 @@ def main(argv=None):
                              "val loop (PSNR/SSIM + saved images, reference "
                              "options/*.yml `val:` blocks)")
     parser.add_argument("--val-samples", type=int, default=8)
+    parser.add_argument("--devices", type=int, default=None,
+                        help="train on the first N devices only (default: "
+                             "all; 1 disables the mesh/shard_map path)")
+    parser.add_argument("--num-workers", type=int, default=None,
+                        help="loader workers (default: YAML "
+                             "num_worker_per_gpu, reference "
+                             "options/...yml:29); 0 = synchronous")
+    parser.add_argument("--prefetch", type=int, default=2,
+                        help="batches kept in flight ahead of the consumer "
+                             "(reference prefetch_mode analog)")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
     from pgtformer_tpu.config import load_options
     from pgtformer_tpu.parallel.mesh import make_mesh, shard_batch
-    from pgtformer_tpu.data.vfhq import VFHQTrainDataset, clip_batches
+    from pgtformer_tpu.data.vfhq import VFHQTrainDataset
     from pgtformer_tpu.train.trainer import Trainer, epoch_repeat
     from pgtformer_tpu.train.lpips import make_lpips_fn
     from pgtformer_tpu.models.vae import TDCRQVAE3
@@ -111,7 +121,9 @@ def main(argv=None):
     exp_dir = args.exp_dir or f"exp/{opt.get('name', 'run')}"
 
     n_dev = jax.device_count()
-    mesh = make_mesh() if n_dev > 1 else None
+    if args.devices is not None:
+        n_dev = min(n_dev, args.devices)
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
     lpips_fn = None if args.no_lpips else make_lpips_fn(
         weights_path=args.lpips_weights)
     trainer, hp = build_from_options(
@@ -132,8 +144,18 @@ def main(argv=None):
     rng = jax.random.PRNGKey(int(opt.get("manual_seed", 0)))
     sample = dataset[0]
 
+    from pgtformer_tpu.data.loader import PrefetchLoader
+    num_workers = (args.num_workers if args.num_workers is not None
+                   else int(ds_opt.get("num_worker_per_gpu", 4)))
+    loader = PrefetchLoader(
+        dataset, batch, shuffle=True,
+        seed=int(opt.get("manual_seed", 0)),
+        num_workers=num_workers, prefetch=args.prefetch,
+        backend="sync" if num_workers == 0 else "thread",
+        keys=("gt",) if stage == "I" else ("gt", "lq"))
+
     def iter_batches():
-        for b in clip_batches(dataset, batch, shuffle=True):
+        for b in loader:
             if stage == "I":
                 out = b["gt"]
             else:

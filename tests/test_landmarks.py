@@ -87,5 +87,10 @@ def test_eval_cli_emits_all_columns(tmp_path, monkeypatch, capsys):
                "--face-metrics", "--fp32"])
     assert rc == 0
     out = capsys.readouterr().out
-    for col in ("psnr", "ssim", "lpips", "deg", "lmd", "msrl", "tlme"):
+    # parity-grade columns print bare; fallback-driven columns are labeled
+    # at the output surface so tables cannot be mistaken for
+    # paper-comparable numbers (VERDICT round-2 item 6)
+    for col in ("psnr", "ssim", "lpips(random-vgg)", "deg(proxy-embedder)",
+                "lmd(parser-lm)", "msrl(own-def)", "tlme(parser-lm)"):
         assert f"{col}:" in out, (col, out)
+    assert "\nlpips:" not in out and "\ndeg:" not in out

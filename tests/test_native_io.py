@@ -107,3 +107,29 @@ def test_native_writer_codec_fallback(native_lib, tmp_path):
     r = NativeVideoReader(path)
     assert len(list(r)) == 3
     r.close()
+
+
+def test_native_writer_explicit_codec_no_silent_substitute(native_lib,
+                                                           tmp_path):
+    """An explicitly requested encoder that the libav build lacks must FAIL
+    (reference-parity intent: --codec libx265 must never silently produce
+    an H.264 file)."""
+    with pytest.raises(IOError):
+        NativeVideoWriter(str(tmp_path / "x.mp4"), 25.0, (64, 64),
+                          codec="libnotacodec")
+
+
+def test_native_writer_preset_suffix(native_lib, tmp_path):
+    """':preset=<name>' suffix is accepted and produces a decodable file."""
+    path = str(tmp_path / "outp.mp4")
+    try:
+        w = NativeVideoWriter(path, 25.0, (64, 64),
+                              codec="libx264:preset=ultrafast")
+    except IOError:
+        pytest.skip("libx264 unavailable in this libav build")
+    for _ in range(3):
+        w.write(np.zeros((64, 64, 3), np.uint8))
+    w.close()
+    r = NativeVideoReader(path)
+    assert len(list(r)) == 3
+    r.close()

@@ -105,3 +105,43 @@ def test_export_roundtrip_and_reference_load(reference, tmp_path):
     assert set(sd2) == set(sd)
     np.testing.assert_array_equal(
         sd2["feat_emb.weight"], sd["feat_emb.weight"])
+
+
+def test_push_to_hub_dry_run(tmp_path):
+    """push_to_hub dry path: stages a reference-format pytorch_model.bin +
+    config.json that round-trips through the strict porter (the networked
+    upload is a plain huggingface_hub.upload_folder on the same folder)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pgtformer_tpu.config import DDConfig, VQVAEConfig
+    from pgtformer_tpu.models.vae import TDCRQVAE3
+    from pgtformer_tpu.convert.torch_port import (push_to_hub,
+                                                  load_torch_checkpoint,
+                                                  port_torch_state_dict)
+
+    dd = dict(double_z=False, z_channels=32, resolution=16, in_channels=3,
+              out_ch=3, ch=32, ch_mult=[1, 2], depths=[1, 1],
+              num_heads=[2, 2], window_sizes=[[4, 4], [4, 4]], num_frames=3,
+              num_res_blocks=1, attn_resolutions=[8], dropout=0.0)
+    cfg = VQVAEConfig.from_dict(dict(
+        embed_dim=32, n_embed=32, decay=0.99, loss_type="mse",
+        latent_loss_weight=0.25, bottleneck_type="rq",
+        latent_shape=[8, 8, 32], code_shape=[8, 8, 1],
+        shared_codebook=True, restart_unused_codes=True, tf=3,
+        ddconfig=dd))
+    mod = TDCRQVAE3(cfg)
+    x = jnp.zeros((1, 3, 16, 16, 3), jnp.float32)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, x)
+
+    staged = push_to_hub(variables, "someone/some-repo",
+                         staging_dir=str(tmp_path / "stage"), dry_run=True)
+    assert os.path.exists(os.path.join(staged, "pytorch_model.bin"))
+    assert os.path.exists(os.path.join(staged, "config.json"))
+    sd = load_torch_checkpoint(os.path.join(staged, "pytorch_model.bin"),
+                               param_key=None)
+    zeros = jax.tree.map(np.zeros_like, variables)
+    restored = port_torch_state_dict(zeros, sd)   # strict: every leaf filled
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -1,0 +1,159 @@
+"""Per-op device-time breakdown of the PRODUCTION serving step.
+
+Runs `pipeline.VideoRestorer._step` (the exact graph bench.py measures)
+under jax.profiler, parses the xplane trace, and aggregates device event
+time by op, plus coarse buckets (conv fusions / Pallas kernels / copies+
+pads+transposes / misc).  Round-2 lesson (BASELINE.md): optimize against
+this fused graph, not standalone stage harnesses.
+
+Usage: python tools/trace_pipeline.py [--iters 10] [--batch 8] [--top 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step(batch):
+    import jax
+    import jax.numpy as jnp
+    from pgtformer_tpu.config import RELEASE_PGTFORMER
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+    from pgtformer_tpu.pipeline import VideoRestorer
+
+    cfg = RELEASE_PGTFORMER
+    model = PGTFormer(cfg, dtype=jnp.bfloat16, use_pallas=True)
+    res = cfg.vqvae.ddconfig.resolution
+    T = cfg.vqvae.tf
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, T, res, res, 3), jnp.float32),
+                           w=1.0))
+    rng = np.random.default_rng(0)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.normal(scale=0.02, size=s.shape).astype(s.dtype))
+        if np.issubdtype(s.dtype, np.floating)
+        else jnp.zeros(s.shape, s.dtype), shapes)
+    restorer = VideoRestorer(variables, cfg, w=1.0, batch_windows=batch,
+                             dtype=jnp.bfloat16)
+    chunk = rng.integers(0, 256, (batch, res, res, 3), dtype=np.uint8)
+    restorer.prime(chunk[0])
+    return restorer, jnp.asarray(chunk)
+
+
+BUCKETS = (
+    ("pallas_sw_attn", re.compile(r"sw_attn|swattn|fused_sw", re.I)),
+    ("pallas_dense_mha", re.compile(r"dense_mha|flash", re.I)),
+    ("pallas_vq", re.compile(r"nearest_code|vq_lookup", re.I)),
+    ("conv/fusion", re.compile(r"convolution|conv", re.I)),
+    ("matmul", re.compile(r"dot|gemm", re.I)),
+    ("copy/pad/slice", re.compile(
+        r"copy|pad|slice|concatenate|transpose|reshape|bitcast|gather|"
+        r"dynamic-update", re.I)),
+    ("reduce/norm", re.compile(r"reduce|norm", re.I)),
+)
+
+
+def bucket_of(name: str) -> str:
+    for label, pat in BUCKETS:
+        if pat.search(name):
+            return label
+    return "misc"
+
+
+def parse_xplanes(log_dir: str):
+    """Aggregate device-plane event durations (ps) by event name."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    totals = collections.Counter()
+    paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane.pb under {log_dir}"
+    for path in paths:
+        xspace = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xspace.ParseFromString(f.read())
+        for plane in xspace.planes:
+            if "TPU" not in plane.name and "/device" not in plane.name:
+                continue
+            if "XLA Ops" not in " ".join(l.name for l in plane.lines) \
+                    and "TPU" not in plane.name:
+                continue
+            meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                # XLA Ops / XLA TraceMe lines carry per-op events
+                if line.name not in ("XLA Ops", "Steps") and \
+                        "XLA" not in line.name and "op" not in line.name.lower():
+                    continue
+                if line.name == "Steps":
+                    continue
+                for ev in line.events:
+                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                    totals[name] += ev.duration_ps
+    return totals
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--keep", default=None,
+                    help="keep the trace under this dir")
+    args = ap.parse_args()
+
+    import jax
+
+    restorer, chunk_dev = build_step(args.batch)
+    tail0 = restorer._tail
+    out, tail = restorer._step(restorer.variables, tail0, chunk_dev)
+    np.asarray(out[0, 0, 0, :1])  # compile + warm
+
+    log_dir = args.keep or tempfile.mkdtemp(prefix="pgt_trace_")
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(log_dir)
+    tail = tail0
+    for _ in range(args.iters):
+        out, tail = restorer._step(restorer.variables, tail, chunk_dev)
+    np.asarray(out[0, 0, 0, :1])
+    jax.profiler.stop_trace()
+    wall = time.perf_counter() - t0
+    print(f"wall {wall * 1e3 / args.iters:.1f} ms/step "
+          f"({args.batch / (wall / args.iters):.2f} fps)")
+
+    totals = parse_xplanes(log_dir)
+    if not totals:
+        print("no device events parsed — inspect", log_dir)
+        return
+    per_iter = {k: v / args.iters / 1e9 for k, v in totals.items()}  # ms
+    dev_total = sum(per_iter.values())
+    print(f"device total {dev_total:.1f} ms/step")
+
+    buckets = collections.Counter()
+    for name, ms in per_iter.items():
+        buckets[bucket_of(name)] += ms
+    print("\n-- buckets (ms/step) --")
+    for label, ms in buckets.most_common():
+        print(f"{label:18s} {ms:8.2f}  ({100 * ms / dev_total:4.1f}%)")
+
+    print(f"\n-- top {args.top} ops (ms/step) --")
+    for name, ms in sorted(per_iter.items(), key=lambda kv: -kv[1])[:args.top]:
+        print(f"{ms:8.3f}  {name[:110]}")
+    if not args.keep:
+        import shutil
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
