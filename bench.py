@@ -18,6 +18,7 @@ the number in hardware: model FLOPs (XLA cost analysis) / step time /
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -27,6 +28,14 @@ V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default=None,
+                    help="reference-format torch checkpoint (.pth/"
+                         ".safetensors) so the perf number and the golden "
+                         "path share one artifact; random N(0,0.02) "
+                         "weights otherwise")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from pgtformer_tpu.config import RELEASE_PGTFORMER
@@ -39,16 +48,22 @@ def main():
     T = cfg.vqvae.tf
     B = 8  # new frames per step; each yields one output frame
 
-    shapes = jax.eval_shape(
-        lambda: model.init({"params": jax.random.PRNGKey(0)},
-                           jnp.zeros((1, T, res, res, 3), jnp.float32),
-                           w=1.0))
+    if args.weights:
+        from pgtformer_tpu.cli import load_variables
+        variables = load_variables(model, cfg, args.weights,
+                                   (1, T, res, res, 3), jnp.bfloat16)
+    else:
+        shapes = jax.eval_shape(
+            lambda: model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.zeros((1, T, res, res, 3), jnp.float32),
+                               w=1.0))
+        rng = np.random.default_rng(0)
+        variables = jax.tree.map(
+            lambda s: jnp.asarray(
+                rng.normal(scale=0.02, size=s.shape).astype(s.dtype))
+            if np.issubdtype(s.dtype, np.floating)
+            else jnp.zeros(s.shape, s.dtype), shapes)
     rng = np.random.default_rng(0)
-    variables = jax.tree.map(
-        lambda s: jnp.asarray(
-            rng.normal(scale=0.02, size=s.shape).astype(s.dtype))
-        if np.issubdtype(s.dtype, np.floating)
-        else jnp.zeros(s.shape, s.dtype), shapes)
 
     restorer = VideoRestorer(variables, cfg, w=1.0, batch_windows=B,
                              dtype=jnp.bfloat16)

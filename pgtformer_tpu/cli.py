@@ -95,8 +95,11 @@ def main(argv=None):
     qcheck_samples = {}
     if args.encode_quality_check:
         stride = 16
+        # stride samples feed PSNR/SSIM; the first 16 CONSECUTIVE frames
+        # feed VMAF (motion2 needs neighboring frames)
         cbs.append(lambda i, rgb: qcheck_samples.update({i: rgb.copy()})
-                   if i % stride == 0 and len(qcheck_samples) < 32 else None)
+                   if (i % stride == 0 and len(qcheck_samples) < 32)
+                   or i < 16 else None)
 
     frame_cb = None
     if cbs:
@@ -117,20 +120,31 @@ def main(argv=None):
 
     if args.encode_quality_check and qcheck_samples:
         from pgtformer_tpu.eval.metrics import calculate_psnr, calculate_ssim
+        from pgtformer_tpu.eval import vmaf as vmaf_mod
         from pgtformer_tpu.pipeline import _open_reader
+        scorer = (vmaf_mod.VmafScorer() if vmaf_mod.available() else None)
         rd = _open_reader(args.output_video, "auto")
         psnrs, ssims = [], []
         for i, enc in enumerate(rd):
             if i in qcheck_samples:
                 a = enc.astype(np.float32) / 255.0
                 b = qcheck_samples[i].astype(np.float32) / 255.0
-                psnrs.append(calculate_psnr(a, b))
-                ssims.append(calculate_ssim(a, b))
+                if i % 16 == 0:
+                    psnrs.append(calculate_psnr(a, b))
+                    ssims.append(calculate_ssim(a, b))
+                if scorer is not None and i < 16:
+                    # ref = restored frames, dis = encoded output
+                    scorer.update(b, a)
         rd.close()
         if psnrs:
             print(f"encode quality ({len(psnrs)} sampled frames): "
                   f"psnr {np.mean(psnrs):.2f} dB, ssim {np.mean(ssims):.4f} "
                   "(encoded vs restored)")
+        if scorer is not None and scorer.finish():
+            # own clean-room implementation of the shipped model
+            # (ffmpeg_lib/model/vmaf_v0.6.1.json) — labeled, see eval/vmaf.py
+            print(f"vmaf(own-impl) (first {len(scorer.finish())} frames): "
+                  f"{scorer.mean():.2f}")
     return 0
 
 

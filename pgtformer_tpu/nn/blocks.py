@@ -137,6 +137,34 @@ def _subpixel_up_conv(x: jnp.ndarray, k3: jnp.ndarray, bias: jnp.ndarray,
     return stacked.transpose(2, 3, 0, 4, 1, 5).reshape(N, 2 * H, 2 * W, C)
 
 
+# phase-combination matrix: output tap u reads dilated source offsets via
+# rows {u=0: r0, u=1: r0+r1, u=2: r1+r2, u=3: r2} (see _subpixel_up_conv)
+_PHASE_A = np.array([[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], np.float32)
+
+
+def _subpixel_up_conv_dilated(x: jnp.ndarray, k3: jnp.ndarray,
+                              bias: jnp.ndarray, dtype) -> jnp.ndarray:
+    """conv3x3(nearest_up2(x)) as ONE lhs-dilated (transposed) conv.
+
+    Equivalent to `_subpixel_up_conv` but emits a single stride-1
+    lhs_dilation=2 conv with a derived 4x4 kernel — no phase-stack /
+    interleave chain in HBM (the stack+transpose pair costs ~2.5 ms per
+    upsample at res-256 in the serving step trace).  K44 = A k3 A^T over
+    the spatial taps: K44[u,v] = sum_{r,c} A[u,r] A[v,c] k3[r,c].
+    """
+    N, H, W, C = x.shape
+    A = jnp.asarray(_PHASE_A)
+    k44 = jnp.einsum("ur,vc,rcio->uvio", A, A,
+                     k3.astype(jnp.float32)).astype(dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (4, 4, C, C),
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k44, window_strides=(1, 1),
+        padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=dn)
+    return y + bias.astype(dtype)
+
+
 class Upsample(nn.Module):
     """Nearest-2x upsample + optional conv3x3 (reference tdcrqvae3_arch.py:34-52).
 
@@ -160,7 +188,11 @@ class Upsample(nn.Module):
             x = x.reshape(B * T, H, W, C)
         if self.with_conv and self.subpixel:
             k3, b = _Conv3x3Params(x.shape[-1], name="conv")()
-            x = _subpixel_up_conv(x, k3, b, self.dtype)
+            import os
+            if os.environ.get("PGT_SUBPIXEL", "dilated") == "dilated":
+                x = _subpixel_up_conv_dilated(x, k3, b, self.dtype)
+            else:
+                x = _subpixel_up_conv(x, k3, b, self.dtype)
         else:
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
             if self.with_conv:
@@ -400,7 +432,9 @@ class EncoderLayer(nn.Module):
         return x
 
     def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
-        from pgtformer_tpu.ops.pallas_attn import fused_sw_block_tokens
+        import os
+        from pgtformer_tpu.ops.pallas_attn import (fused_sw_block_tokens,
+                                                   fused_sw_block_5d)
 
         B, T, H, W, C = x.shape
         win = self.window_size
@@ -409,6 +443,12 @@ class EncoderLayer(nn.Module):
         N = T * win[0] * win[1]
         params = self.variables["params"]
         idx = relative_position_index(T, T, tuple(win))
+        # "5d": windows stream straight from the [B,T,H,W,C] layout inside
+        # the kernel (BlockSpec row stripes + in-VMEM shift) — no XLA-side
+        # partition/reverse/roll traffic.  "tokens": the round-2 kernel on
+        # an XLA-partitioned token array.
+        use_5d = (os.environ.get("PGT_SW_KERNEL", "5d") == "5d"
+                  and all(w % 2 == 0 for w in win))
         for i in range(self.depth):
             shift = (0, 0) if i % 2 == 0 else half
             p = params[f"blocks_{i}"]
@@ -418,6 +458,10 @@ class EncoderLayer(nn.Module):
             shifted = any(s > 0 for s in shift)
             mask = (shifted_window_mask(T, H, W, tuple(win), tuple(shift))
                     if shifted else None)
+            if use_5d:
+                x = fused_sw_block_5d(x, p, bias, mask, self.num_heads,
+                                      tuple(win), tuple(shift))
+                continue
             h = jnp.roll(x, (-shift[0], -shift[1]), axis=(2, 3)) if shifted else x
             tok = window_partition(h, win)
             tok = fused_sw_block_tokens(tok, p, bias, mask,

@@ -35,64 +35,74 @@ def _layer_norm(x32: jnp.ndarray, scale, bias, eps=1e-5):
     return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _block_math(x, ln1s_ref, ln1b_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
+                wp_ref, bp_ref, ln2s_ref, ln2b_ref, wf1_ref, bf1_ref,
+                wf2_ref, bf2_ref, bias_ref, mask_ref,
+                num_heads, head_dim, c_model, n_tokens, wblk, scale):
+    """The fused block math on assembled window tokens [WBLK*N, C] bf16.
+    `head_dim` may be lane-padded; `c_model` is the true model width."""
+    C = c_model
+    Cq = num_heads * head_dim
+    N = n_tokens
+    x32 = x.astype(jnp.float32)
+
+    h1 = _layer_norm(x32, ln1s_ref[:], ln1b_ref[:]).astype(jnp.bfloat16)
+    q = (jnp.dot(h1, wq_ref[:], preferred_element_type=jnp.float32)
+         + bq_ref[:]).astype(jnp.bfloat16)
+    kv = (jnp.dot(h1, wkv_ref[:], preferred_element_type=jnp.float32)
+          + bkv_ref[:]).astype(jnp.bfloat16)
+    k = kv[:, :Cq]
+    v = kv[:, Cq:]
+
+    head_outs = []
+    for hi in range(num_heads):
+        sl = slice(hi * head_dim, (hi + 1) * head_dim)
+        qh = (q[:, sl] * scale).reshape(wblk, N, head_dim)
+        kh = k[:, sl].reshape(wblk, N, head_dim)
+        vh = v[:, sl].reshape(wblk, N, head_dim)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # [WBLK, N, N]
+        s = s + bias_ref[hi][None]
+        if mask_ref is not None:
+            s = s + mask_ref[:]
+        s = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        oh = jax.lax.dot_general(
+            s, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # [WBLK, N, hd]
+        head_outs.append(oh.reshape(wblk * N, head_dim))
+    attn_out = jnp.concatenate(head_outs, axis=-1)  # [WBLK*N, C]
+
+    proj = (jnp.dot(attn_out.astype(jnp.bfloat16), wp_ref[:],
+                    preferred_element_type=jnp.float32) + bp_ref[:])
+    x2 = x32 + proj
+
+    h2 = _layer_norm(x2, ln2s_ref[:], ln2b_ref[:]).astype(jnp.bfloat16)
+    f = (jnp.dot(h2, wf1_ref[:], preferred_element_type=jnp.float32)
+         + bf1_ref[:])
+    # Mosaic has no erf/erfc lowering; tanh-approx GELU deviates from
+    # the reference's exact GELU by <1e-3 — inside bf16 noise
+    f = jax.nn.gelu(f, approximate=True).astype(jnp.bfloat16)
+    f = (jnp.dot(f, wf2_ref[:], preferred_element_type=jnp.float32)
+         + bf2_ref[:])
+    return x2 + f
+
+
 def _block_kernel(num_heads: int, head_dim: int, c_model: int,
                   n_tokens: int, wblk: int, scale: float, masked: bool):
-    """Build the kernel body for given static geometry.  `head_dim` may be
-    lane-padded (see wrapper); `c_model` is the true model width."""
+    """Token-domain kernel body (input pre-partitioned by XLA)."""
 
-    def kernel(x_ref, ln1s_ref, ln1b_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
-               wp_ref, bp_ref, ln2s_ref, ln2b_ref, wf1_ref, bf1_ref,
-               wf2_ref, bf2_ref, bias_ref, *rest):
+    def kernel(x_ref, *refs):
         if masked:
-            mask_ref, o_ref = rest
+            *param_refs, bias_ref, mask_ref, o_ref = refs
         else:
-            (o_ref,) = rest
-        C = c_model
-        Cq = num_heads * head_dim
-        N = n_tokens
-        x = x_ref[:]                                   # [WBLK*N, C] bf16
-        x32 = x.astype(jnp.float32)
-
-        h1 = _layer_norm(x32, ln1s_ref[:], ln1b_ref[:]).astype(jnp.bfloat16)
-        q = (jnp.dot(h1, wq_ref[:], preferred_element_type=jnp.float32)
-             + bq_ref[:]).astype(jnp.bfloat16)
-        kv = (jnp.dot(h1, wkv_ref[:], preferred_element_type=jnp.float32)
-              + bkv_ref[:]).astype(jnp.bfloat16)
-        k = kv[:, :Cq]
-        v = kv[:, Cq:]
-
-        head_outs = []
-        for hi in range(num_heads):
-            sl = slice(hi * head_dim, (hi + 1) * head_dim)
-            qh = (q[:, sl] * scale).reshape(wblk, N, head_dim)
-            kh = k[:, sl].reshape(wblk, N, head_dim)
-            vh = v[:, sl].reshape(wblk, N, head_dim)
-            s = jax.lax.dot_general(
-                qh, kh, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)    # [WBLK, N, N]
-            s = s + bias_ref[hi][None]
-            if masked:
-                s = s + mask_ref[:]
-            s = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
-            oh = jax.lax.dot_general(
-                s, vh, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)    # [WBLK, N, hd]
-            head_outs.append(oh.reshape(wblk * N, head_dim))
-        attn_out = jnp.concatenate(head_outs, axis=-1)  # [WBLK*N, C]
-
-        proj = (jnp.dot(attn_out.astype(jnp.bfloat16), wp_ref[:],
-                        preferred_element_type=jnp.float32) + bp_ref[:])
-        x2 = x32 + proj
-
-        h2 = _layer_norm(x2, ln2s_ref[:], ln2b_ref[:]).astype(jnp.bfloat16)
-        f = (jnp.dot(h2, wf1_ref[:], preferred_element_type=jnp.float32)
-             + bf1_ref[:])
-        # Mosaic has no erf/erfc lowering; tanh-approx GELU deviates from
-        # the reference's exact GELU by <1e-3 — inside bf16 noise
-        f = jax.nn.gelu(f, approximate=True).astype(jnp.bfloat16)
-        f = (jnp.dot(f, wf2_ref[:], preferred_element_type=jnp.float32)
-             + bf2_ref[:])
-        o_ref[:] = (x2 + f).astype(o_ref.dtype)
+            *param_refs, bias_ref, o_ref = refs
+            mask_ref = None
+        out = _block_math(x_ref[:], *param_refs, bias_ref, mask_ref,
+                          num_heads=num_heads, head_dim=head_dim,
+                          c_model=c_model, n_tokens=n_tokens, wblk=wblk,
+                          scale=scale)
+        o_ref[:] = out.astype(o_ref.dtype)
 
     return kernel
 
@@ -290,3 +300,233 @@ def _pallas_sw_block(x: jnp.ndarray,
         interpret=interpret,
     )(*args)
     return out.reshape(M, N, C)
+
+
+# ---------------------------------------------------------------------------
+# 5D-direct variant: windows are loaded straight from [B, T, H, W, C] via
+# BlockSpec row-stripes — XLA never materializes the partition (the
+# reshape/transpose/copy chain around the token kernel costs ~0.65 ms per
+# tensor at res-128 in the serving-step trace, ~21 ms/step total).  The
+# half-window shift is handled in-kernel: two half-stripe input specs with
+# mod-wrapped row-block indices + an in-VMEM column roll — no jnp.roll in
+# the XLA graph at all.
+# ---------------------------------------------------------------------------
+
+
+def _stripe_kernel(num_heads, head_dim, c_model, T, wh, ww, nw, scale,
+                   masked, shifted, sw, out_dtype):
+    """Kernel over one window-row stripe [T, wh, W, C] (W = nw*ww)."""
+    N = T * wh * ww
+    W = nw * ww
+
+    def assemble(stripe):
+        # [T, wh, W, C] -> [nw*N, C] in window-token order (t, h, w)
+        t = stripe.reshape(T, wh, nw, ww, c_model)
+        t = t.transpose(2, 0, 1, 3, 4)          # [nw, T, wh, ww, C]
+        return t.reshape(nw * N, c_model)
+
+    def scatter(tokens):
+        # inverse of assemble
+        t = tokens.reshape(nw, T, wh, ww, c_model)
+        t = t.transpose(1, 2, 0, 3, 4)          # [T, wh, nw, ww, C]
+        return t.reshape(T, wh, W, c_model)
+
+    n_in_x = 2 if shifted else 1
+    n_out = 2 if shifted else 1
+
+    def kernel(*refs):
+        x_refs = refs[:n_in_x]
+        out_refs = refs[len(refs) - n_out:]
+        mid = refs[n_in_x:len(refs) - n_out]
+        if masked:
+            *param_refs, bias_ref, mask_ref = mid
+        else:
+            *param_refs, bias_ref = mid
+            mask_ref = None
+
+        if shifted:
+            # rows arrive roll-ordered via the two mod-wrapped specs;
+            # roll the columns in-VMEM
+            stripe = jnp.concatenate([x_refs[0][0], x_refs[1][0]], axis=1)
+            stripe = jnp.concatenate(
+                [stripe[:, :, sw:, :], stripe[:, :, :sw, :]], axis=2)
+        else:
+            stripe = x_refs[0][0]
+
+        mref = mask_ref[0] if mask_ref is not None else None
+        out = _block_math(assemble(stripe).astype(jnp.bfloat16),
+                          *param_refs, bias_ref, mref,
+                          num_heads=num_heads, head_dim=head_dim,
+                          c_model=c_model, n_tokens=N, wblk=nw, scale=scale)
+        y = scatter(out.astype(out_dtype))
+        if shifted:
+            # inverse column roll, split rows back to the two half-stripes
+            y = jnp.concatenate([y[:, :, W - sw:, :], y[:, :, :W - sw, :]],
+                                axis=2)
+            sh = wh // 2
+            out_refs[0][0] = y[:, :sh]
+            out_refs[1][0] = y[:, sh:]
+        else:
+            out_refs[0][0] = y
+
+    return kernel
+
+
+def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
+                        window, shift, interpret=False):
+    """Raw 5D fused forward.  x [B, T, H, W, C]; shift must be 0 or
+    half-window in both axes."""
+    B, T, H, W, C = x.shape
+    wh, ww = window
+    sh, sw = shift
+    nw = W // ww
+    N = T * wh * ww
+    hd = C // num_heads
+    scale = hd ** -0.5
+    shifted = sh > 0 or sw > 0
+    assert (not shifted) or (sh * 2 == wh and sw * 2 == ww), (shift, window)
+
+    p = block_params
+    a = p["attn1"]
+    hd_p = 128 if hd == 64 else hd
+    wq, bq = a["q"]["kernel"], a["q"]["bias"]
+    wkv, bkv = a["kv"]["kernel"], a["kv"]["bias"]
+    wp = a["proj"]["kernel"]
+    if hd_p != hd:
+        def pad_cols(w, b):
+            wr = w.reshape(C, num_heads, hd)
+            wr = jnp.pad(wr, ((0, 0), (0, 0), (0, hd_p - hd)))
+            br = jnp.pad(b.reshape(num_heads, hd), ((0, 0), (0, hd_p - hd)))
+            return wr.reshape(C, num_heads * hd_p), br.reshape(-1)
+        wq, bq = pad_cols(wq, bq)
+        wk_p, bk_p = pad_cols(wkv[:, :C], bkv[:C])
+        wv_p, bv_p = pad_cols(wkv[:, C:], bkv[C:])
+        wkv = jnp.concatenate([wk_p, wv_p], axis=1)
+        bkv = jnp.concatenate([bk_p, bv_p])
+        wp = jnp.pad(wp.reshape(num_heads, hd, C),
+                     ((0, 0), (0, hd_p - hd), (0, 0)))
+        wp = wp.reshape(num_heads * hd_p, C)
+    Cq = num_heads * hd_p
+
+    param_args = [
+        p["norm1"]["scale"].astype(jnp.float32),
+        p["norm1"]["bias"].astype(jnp.float32),
+        wq.astype(jnp.bfloat16), bq.astype(jnp.float32),
+        wkv.astype(jnp.bfloat16), bkv.astype(jnp.float32),
+        wp.astype(jnp.bfloat16), a["proj"]["bias"].astype(jnp.float32),
+        p["norm2"]["scale"].astype(jnp.float32),
+        p["norm2"]["bias"].astype(jnp.float32),
+        p["mlp"]["fc1"]["kernel"].astype(jnp.bfloat16),
+        p["mlp"]["fc1"]["bias"].astype(jnp.float32),
+        p["mlp"]["fc2"]["kernel"].astype(jnp.bfloat16),
+        p["mlp"]["fc2"]["bias"].astype(jnp.float32),
+    ]
+    rep = lambda shape: pl.BlockSpec(shape, lambda b, r: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    param_specs = [
+        rep((C,)), rep((C,)),
+        rep((C, Cq)), rep((Cq,)),
+        rep((C, 2 * Cq)), rep((2 * Cq,)),
+        rep((Cq, C)), rep((C,)),
+        rep((C,)), rep((C,)),
+        rep((C, C)), rep((C,)),
+        rep((C, C)), rep((C,)),
+    ]
+
+    grid = (B, H // wh)
+    xb = x.astype(jnp.bfloat16)
+    masked = mask is not None
+
+    if shifted:
+        n_half = H // sh                      # height-sh row blocks
+        top_spec = pl.BlockSpec(
+            (1, T, sh, W, C),
+            lambda b, r: (b, 0, (2 * r + 1) % n_half, 0, 0),
+            memory_space=pltpu.VMEM)
+        bot_spec = pl.BlockSpec(
+            (1, T, sh, W, C),
+            lambda b, r: (b, 0, (2 * r + 2) % n_half, 0, 0),
+            memory_space=pltpu.VMEM)
+        in_specs = [top_spec, bot_spec] + param_specs
+        args = [xb, xb] + param_args
+        out_specs = (top_spec, bot_spec)
+        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),) * 2
+    else:
+        stripe_spec = pl.BlockSpec(
+            (1, T, wh, W, C), lambda b, r: (b, 0, r, 0, 0),
+            memory_space=pltpu.VMEM)
+        in_specs = [stripe_spec] + param_specs
+        args = [xb] + param_args
+        out_specs = stripe_spec
+        out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    args.append(rel_bias.astype(jnp.float32))
+    in_specs.append(rep((num_heads, N, N)))
+    if masked:
+        m = jnp.asarray(mask, jnp.float32).reshape(H // wh, nw, N, N)
+        args.append(m)
+        in_specs.append(pl.BlockSpec((1, nw, N, N),
+                                     lambda b, r: (r, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = _stripe_kernel(num_heads, hd_p, C, T, wh, ww, nw, scale,
+                            masked, shifted, sw, x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    if shifted:
+        # each program writes disjoint half-stripes of both outputs; rows
+        # [sh:] mod-wrap live in out[0] (top halves), rows [:sh] in out[1].
+        # Reassemble: out_top holds half-blocks (2r+1), out_bot (2r+2).
+        top, bot = out
+        n_half = H // sh
+        t = top.reshape(B, T, n_half, sh, W, C)
+        b_ = bot.reshape(B, T, n_half, sh, W, C)
+        sel = (np.arange(n_half) % 2 == 1)[None, None, :, None, None, None]
+        merged = jnp.where(jnp.asarray(sel), t, b_)
+        return merged.reshape(B, T, H, W, C)
+    return out
+
+
+def sw_block_5d_xla(x, p, rel_bias, mask, num_heads, window, shift):
+    """XLA reference for the 5D fused block (differentiable): roll ->
+    partition -> token block -> reverse -> unroll."""
+    from pgtformer_tpu.ops.window import window_partition, window_reverse
+    B, T, H, W, C = x.shape
+    shifted = any(s > 0 for s in shift)
+    h = jnp.roll(x, (-shift[0], -shift[1]), axis=(2, 3)) if shifted else x
+    tok = window_partition(h, window)
+    nW = (H // window[0]) * (W // window[1])
+    tok = sw_block_tokens_xla(tok, p, rel_bias, mask, num_heads, nW)
+    h = window_reverse(tok.astype(x.dtype), window, B, T, H, W)
+    return jnp.roll(h, (shift[0], shift[1]), axis=(2, 3)) if shifted else h
+
+
+def fused_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
+                      window, shift, interpret=False):
+    """Differentiable 5D fused SW block (custom VJP through the XLA path)."""
+
+    def fwd_impl(x, p, rb):
+        return _pallas_sw_block_5d(x, p, rb, mask, num_heads, window,
+                                   shift, interpret)
+
+    @jax.custom_vjp
+    def f(x, p, rb):
+        return fwd_impl(x, p, rb)
+
+    def f_fwd(x, p, rb):
+        return fwd_impl(x, p, rb), (x, p, rb)
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda x, p, rb: sw_block_5d_xla(x, p, rb, mask, num_heads,
+                                             window, shift), *res)
+        return vjp(g.astype(res[0].dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, block_params, rel_bias)

@@ -32,6 +32,14 @@ class Trainer:
         self.ckpt = CheckpointManager(exp_dir)
         self.auto_resume = auto_resume
 
+    def _append_jsonl(self, rec: dict):
+        """Machine-readable training curve (exp_dir/metrics.jsonl)."""
+        import json
+        import os
+        os.makedirs(self.exp_dir, exist_ok=True)
+        with open(os.path.join(self.exp_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     def fit(self, state, batches: Iterator[Any],
             total_iter: Optional[int] = None,
             val_fn: Optional[Callable[[Any, int], dict]] = None):
@@ -61,6 +69,8 @@ class Trainer:
                     f"iter {step}/{total}  {rate:.2f} it/s  "
                     + "  ".join(f"{k}:{v:.4f}" for k, v in m.items()))
                 self.tb.scalars(step, m)
+                self._append_jsonl({"step": step, "it_per_s": round(rate, 3),
+                                    **{k: round(v, 5) for k, v in m.items()}})
                 t0 = time.time()
                 window_steps = 0
 
@@ -75,6 +85,9 @@ class Trainer:
                     f"{k}:{v:.4f}" for k, v in val_metrics.items()))
                 self.tb.scalars(step, {f"val/{k}": v
                                        for k, v in val_metrics.items()})
+                self._append_jsonl({"step": step,
+                                    **{f"val/{k}": round(float(v), 5)
+                                       for k, v in val_metrics.items()}})
 
         self.ckpt.save(int(state.step), state)
         self.ckpt.export_params_ema(int(state.step), state.g.ema_params)

@@ -54,7 +54,8 @@ def build_step(batch):
 
 
 BUCKETS = (
-    ("pallas_sw_attn", re.compile(r"sw_attn|swattn|fused_sw", re.I)),
+    ("pallas_sw_attn", re.compile(
+        r"sw_attn|swattn|fused_sw|attn\S*\._fused", re.I)),
     ("pallas_dense_mha", re.compile(r"dense_mha|flash", re.I)),
     ("pallas_vq", re.compile(r"nearest_code|vq_lookup", re.I)),
     ("conv/fusion", re.compile(r"convolution|conv", re.I)),
@@ -73,10 +74,18 @@ def bucket_of(name: str) -> str:
     return "misc"
 
 
-def parse_xplanes(log_dir: str):
-    """Aggregate device-plane event durations (ps) by event name."""
+ASYNC_PAT = re.compile(r"copy-start|copy-done|send|recv|-start\b", re.I)
+
+
+def parse_xplanes(log_dir: str, verbose: bool = False):
+    """Aggregate device "XLA Ops" event durations (ps) by event name.
+
+    Returns (sync_totals, async_totals): async ops (copy-start prefetches
+    etc.) overlap compute, so their spans must not be added to busy time.
+    """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    totals = collections.Counter()
+    sync = collections.Counter()
+    async_ = collections.Counter()
     paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane.pb under {log_dir}"
@@ -85,23 +94,20 @@ def parse_xplanes(log_dir: str):
         with open(path, "rb") as f:
             xspace.ParseFromString(f.read())
         for plane in xspace.planes:
-            if "TPU" not in plane.name and "/device" not in plane.name:
+            if "TPU" not in plane.name:
                 continue
-            if "XLA Ops" not in " ".join(l.name for l in plane.lines) \
-                    and "TPU" not in plane.name:
-                continue
+            if verbose:
+                print(f"# plane {plane.name}: lines "
+                      f"{[l.name for l in plane.lines]}", file=sys.stderr)
             meta = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
-                # XLA Ops / XLA TraceMe lines carry per-op events
-                if line.name not in ("XLA Ops", "Steps") and \
-                        "XLA" not in line.name and "op" not in line.name.lower():
-                    continue
-                if line.name == "Steps":
+                if line.name != "XLA Ops":
                     continue
                 for ev in line.events:
                     name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                    totals[name] += ev.duration_ps
-    return totals
+                    tgt = async_ if ASYNC_PAT.search(name) else sync
+                    tgt[name] += ev.duration_ps
+    return sync, async_
 
 
 def main():
@@ -132,27 +138,33 @@ def main():
     print(f"wall {wall * 1e3 / args.iters:.1f} ms/step "
           f"({args.batch / (wall / args.iters):.2f} fps)")
 
-    totals = parse_xplanes(log_dir)
-    if not totals:
+    sync, async_ = parse_xplanes(log_dir, verbose=True)
+    if not sync:
         print("no device events parsed — inspect", log_dir)
         return
-    per_iter = {k: v / args.iters / 1e9 for k, v in totals.items()}  # ms
+    report(sync, async_, args.iters, args.top)
+    if not args.keep:
+        import shutil
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
+def report(sync, async_, iters, top):
+    per_iter = {k: v / iters / 1e9 for k, v in sync.items()}  # ms
     dev_total = sum(per_iter.values())
-    print(f"device total {dev_total:.1f} ms/step")
+    async_total = sum(async_.values()) / iters / 1e9
+    print(f"device busy {dev_total:.1f} ms/step "
+          f"(+ {async_total:.1f} ms of overlapped async copy spans)")
 
     buckets = collections.Counter()
     for name, ms in per_iter.items():
         buckets[bucket_of(name)] += ms
-    print("\n-- buckets (ms/step) --")
+    print("\n-- buckets (ms/step, sync ops only) --")
     for label, ms in buckets.most_common():
         print(f"{label:18s} {ms:8.2f}  ({100 * ms / dev_total:4.1f}%)")
 
-    print(f"\n-- top {args.top} ops (ms/step) --")
-    for name, ms in sorted(per_iter.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"{ms:8.3f}  {name[:110]}")
-    if not args.keep:
-        import shutil
-        shutil.rmtree(log_dir, ignore_errors=True)
+    print(f"\n-- top {top} sync ops (ms/step) --")
+    for name, ms in sorted(per_iter.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms:8.3f}  {name[:120]}")
 
 
 if __name__ == "__main__":
