@@ -183,34 +183,44 @@ class FuseSftBlock(nn.Module):
         dec = dec_feat.reshape(B * T, H, W, C)
 
         # temporal-fusion path: per-frame 1x1 to tcc channels, frames folded
-        # into channels (t-major), mixed across frames, unfolded
+        # into channels (t-major), mixed across frames, unfolded.  The
+        # fold/mix/unfold is ONE dot contracting (t, c) -> (s, d) — the
+        # parameter stays the reference's [1,1,2*T*tcc,T*tcc] conv kernel
+        # (checkpoint-port parity), but XLA folds the frame-major transpose
+        # into the GEMM operand layout instead of materializing it (the
+        # explicit fold/unfold copies cost ~3 ms/step at res 256).
         enct = nn.Conv(self.tcc, (1, 1), dtype=self.dtype,
                        name="tconvenc")(enc)
         dect = nn.Conv(self.tcc, (1, 1), dtype=self.dtype,
                        name="tconvdec")(dec)
 
-        def fold(f):  # [B*T, H, W, tcc] -> [B, H, W, T*tcc] (t-major channels)
-            f = f.reshape(B, T, H, W, self.tcc).transpose(0, 2, 3, 1, 4)
-            return f.reshape(B, H, W, T * self.tcc)
-
-        # virtual concat: conv(cat(a, b)) == conv_a(a) + conv_b(b)
         ttc = T * self.tcc
         kf, bf = _ConvParams(2 * ttc, ttc, ksize=1, name="tfusion0")()
-        fut = (_conv2d(fold(enct), kf[:, :, :ttc, :].astype(self.dtype),
-                       padding=0)
-               + _conv2d(fold(dect), kf[:, :, ttc:, :].astype(self.dtype),
-                         padding=0)
-               + bf.astype(self.dtype))
-        fut = fut.reshape(B, H, W, T, self.tcc).transpose(0, 3, 1, 2, 4)
+        # [1,1,2ttc,ttc] t-major on both axes -> K[t, c, s, d]
+        k_enc = kf[0, 0, :ttc, :].reshape(T, self.tcc, T, self.tcc)
+        k_dec = kf[0, 0, ttc:, :].reshape(T, self.tcc, T, self.tcc)
+        b_sd = bf.reshape(T, self.tcc)
 
         t_out = T
+        mid = T // 2
+        if middle_only:
+            # only the middle output frame s=mid is ever consumed
+            k_enc = k_enc[:, :, mid:mid + 1]
+            k_dec = k_dec[:, :, mid:mid + 1]
+            b_sd = b_sd[mid:mid + 1]
+            t_out = 1
+        e5 = enct.reshape(B, T, H, W, self.tcc)
+        d5 = dect.reshape(B, T, H, W, self.tcc)
+        fut = (jnp.einsum("bthwc,tcsd->bshwd", e5,
+                          k_enc.astype(self.dtype))
+               + jnp.einsum("bthwc,tcsd->bshwd", d5,
+                            k_dec.astype(self.dtype))
+               + b_sd.astype(self.dtype)[None, :, None, None, :])
+
         if middle_only:
             # all remaining ops are per-frame: keep the middle frame only
-            mid = T // 2
-            fut = fut[:, mid:mid + 1]
             enc = enc_feat[:, mid:mid + 1].reshape(B, H, W, C)
             dec = dec_feat[:, mid:mid + 1].reshape(B, H, W, C)
-            t_out = 1
         fut = fut.reshape(B * t_out, H, W, self.tcc)
         fut = nn.Conv(self.tcc, (1, 1), dtype=self.dtype, name="tfusion1")(fut)
 
