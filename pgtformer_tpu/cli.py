@@ -64,6 +64,16 @@ def main(argv=None):
                         help="Output codec; 'auto' prefers libx265 CRF18 "
                              "hvc1 (the reference's output format, "
                              "inference.py:30-35) with x264/mpeg4 fallback")
+    parser.add_argument("--encoder-preset", type=str, default=None,
+                        help="x264/x265 speed preset (e.g. ultrafast, "
+                             "superfast, fast, medium); trades encode CPU "
+                             "for bitrate at the same CRF 18. On 1-core "
+                             "hosts the x265 encode thread is the e2e "
+                             "bottleneck - 'superfast' is a good choice")
+    parser.add_argument("--inflight", type=int, default=3,
+                        help="device chunks in flight before readback "
+                             "(deeper = better latency hiding on remote "
+                             "tunnels, more HBM)")
     parser.add_argument("--encode-quality-check", action="store_true",
                         help="After writing, re-decode the output and report "
                              "encoded-vs-restored PSNR/SSIM on sampled "
@@ -83,7 +93,8 @@ def main(argv=None):
     variables = load_variables(model, cfg, args.weights, sample_shape, dtype)
 
     restorer = VideoRestorer(variables, cfg, w=args.fidelity,
-                             batch_windows=args.batch, dtype=dtype)
+                             batch_windows=args.batch, dtype=dtype,
+                             inflight=args.inflight)
     cbs = []
     if args.dump_frames:
         import os
@@ -107,9 +118,12 @@ def main(argv=None):
             for cb in cbs:
                 cb(i, rgb)
 
+    codec = args.codec
+    if args.encoder_preset and codec != "mpeg4":
+        codec = f"{codec}:preset={args.encoder_preset}"
     stats = restorer.restore_video(args.input_video, args.output_video,
                                    progress=True, frame_callback=frame_cb,
-                                   codec=args.codec)
+                                   codec=codec)
     print(f"restored {stats['frames']} frames in {stats['seconds']:.1f}s "
           f"({stats['fps']:.2f} fps; steady {stats['steady_fps']:.2f} fps, "
           f"startup {stats['compile_seconds']:.1f}s)")

@@ -68,10 +68,14 @@ class VideoRestorer:
     def __init__(self, variables, cfg: PGTFormerConfig = RELEASE_PGTFORMER,
                  w: float = 1.0, batch_windows: int = 8,
                  dtype=jnp.bfloat16, io_backend: str = "auto",
-                 use_pallas: Optional[bool] = None, mesh=None):
+                 use_pallas: Optional[bool] = None, mesh=None,
+                 inflight: int = 3):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — windows
         are sharded over it for multi-chip serving (batch_windows must be a
-        multiple of the axis size)."""
+        multiple of the axis size).
+        `inflight`: device chunks kept in flight before the oldest is read
+        back — deeper pipelining hides readback latency (important on
+        high-latency host<->device links) at `inflight` chunks of HBM."""
         if use_pallas is None:
             # fused kernels on TPU; XLA path elsewhere (pallas interpret on
             # CPU would be pathologically slow)
@@ -132,6 +136,7 @@ class VideoRestorer:
         else:
             self._step = jax.jit(step)
         self._encode = jax.jit(encode_frames)
+        self.inflight = max(1, inflight)
         self._tail = None
         self._first_chunk_s = None
         self._prime_s = 0.0
@@ -248,7 +253,7 @@ class VideoRestorer:
             with timer.stage(name):          # host->device upload + enqueue
                 out = self.restore_chunk(np.stack(chunk))
             pending.append((out, n_valid))
-            if len(pending) > 2:
+            if len(pending) > self.inflight:
                 drain(pending.pop(0))
 
         reader_it = iter(reader)

@@ -89,8 +89,10 @@ class Trainer:
                                     **{f"val/{k}": round(float(v), 5)
                                        for k, v in val_metrics.items()}})
 
-        self.ckpt.save(int(state.step), state)
-        self.ckpt.export_params_ema(int(state.step), state.g.ema_params)
+        final = int(state.step)
+        if final % self.save_freq != 0:   # else the loop already saved it
+            self.ckpt.save(final, state)
+            self.ckpt.export_params_ema(final, state.g.ema_params)
         self.tb.flush()
         return state
 

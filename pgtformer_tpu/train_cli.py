@@ -162,9 +162,18 @@ def main(argv=None):
                 out = {"lq": b["lq"], "gt": b["gt"]}
             yield shard_batch(out, mesh) if mesh else out
 
+    # when a checkpoint will be auto-resumed, build only the ABSTRACT state
+    # (jax.eval_shape): materializing the full init state on device and
+    # then restoring a second copy doubles device memory and OOMs a 16GB
+    # chip at 512px stage geometry
+    from pgtformer_tpu.utils.checkpoint import CheckpointManager
+    resuming = CheckpointManager(exp_dir).latest_step() is not None
+
     if stage == "I":
-        state = trainer.init_state(rng, sample["gt"][None][: 1].repeat(
-            batch, axis=0))
+        def build_state():
+            return trainer.init_state(
+                rng, jnp.asarray(sample["gt"][None][:1].repeat(batch,
+                                                               axis=0)))
     else:
         teacher = TDCRQVAE3(trainer.cfg.vqvae)
         if args.teacher_ckpt:
@@ -177,14 +186,23 @@ def main(argv=None):
             zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
             t_vars = port_torch_state_dict(
                 zeros, load_torch_checkpoint(args.teacher_ckpt))
-        else:
+        elif not resuming:
             print("WARNING: stage %s without --teacher-ckpt: random teacher"
                   % stage, file=sys.stderr)
             t_vars = teacher.init({"params": jax.random.PRNGKey(7)},
                                   jnp.asarray(sample["gt"][None]))
-        state = trainer.init_state(
-            rng, jnp.asarray(np.repeat(sample["lq"][None], batch, axis=0)),
-            t_vars)
+        else:
+            t_vars = jax.eval_shape(
+                lambda: teacher.init({"params": jax.random.PRNGKey(7)},
+                                     jnp.asarray(sample["gt"][None])))
+
+        def build_state():
+            return trainer.init_state(
+                rng,
+                jnp.asarray(np.repeat(sample["lq"][None], batch, axis=0)),
+                t_vars)
+
+    state = jax.eval_shape(build_state) if resuming else build_state()
 
     val_fn = None
     if args.val_data_root:

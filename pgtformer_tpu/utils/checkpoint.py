@@ -33,6 +33,9 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any):
         path = self._step_dir(step)
+        if os.path.exists(path):           # idempotent re-save of a step
+            import shutil
+            shutil.rmtree(path, ignore_errors=True)
         self._ckpt.save(path, state)
         self._ckpt.wait_until_finished()
         with open(os.path.join(self.directory, "latest"), "w") as f:
