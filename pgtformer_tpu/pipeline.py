@@ -21,7 +21,11 @@ boundary 3x as float32) with:
     inference.py:15);
   * **batched restoration**: B windows per device step;
   * **async dispatch**: host decode of chunk k+1 overlaps device compute of
-    chunk k (2 batches kept in flight);
+    chunk k (`inflight` chunks kept in flight, default 3);
+  * **pooled readback**: device->host transfers run in a 2-worker pool so
+    they overlap dispatch/decode and each other (high-latency links);
+  * **threaded encode**: the CPU-bound video encoder runs in a writer
+    thread, overlapping device compute and readback;
   * native (C++/libav) or OpenCV decode/encode backends.
 """
 
@@ -223,11 +227,27 @@ class VideoRestorer:
         wthread = threading.Thread(target=writer_main, daemon=True)
         wthread.start()
 
+        # readback runs in a 2-worker pool: device->host transfers of chunk
+        # k overlap the dispatch/decode of chunk k+1 AND each other (on
+        # high-latency tunnels a single in-order np.asarray stream leaves
+        # the link idle between RPCs); `drain` only joins the future, so
+        # the main loop blocks on readback no earlier than needed
+        from concurrent.futures import ThreadPoolExecutor
+        rb_pool = ThreadPoolExecutor(max_workers=2)
+
+        def fetch(dev_out):
+            t0f = time.perf_counter()
+            frames = np.asarray(dev_out)
+            return frames, time.perf_counter() - t0f
+
+        def submit(dev_out, n_valid):
+            return rb_pool.submit(fetch, dev_out), n_valid
+
         def drain(entry):
             nonlocal n_frames
-            dev_out, n_valid = entry
-            with timer.stage("readback"):    # device sync + device->host
-                frames = np.asarray(dev_out)
+            fut, n_valid = entry
+            with timer.stage("readback"):    # wait for device->host fetch
+                frames, _ = fut.result()
             valid = frames[:n_valid]
             wq.put(valid)
             if frame_callback is not None:
@@ -252,7 +272,7 @@ class VideoRestorer:
                     else "compile")
             with timer.stage(name):          # host->device upload + enqueue
                 out = self.restore_chunk(np.stack(chunk))
-            pending.append((out, n_valid))
+            pending.append(submit(out, n_valid))
             if len(pending) > self.inflight:
                 drain(pending.pop(0))
 
@@ -290,6 +310,7 @@ class VideoRestorer:
             chunk = []
         for entry in pending:
             drain(entry)
+        rb_pool.shutdown(wait=True)
         reader.close()
         wq.put(None)
         wthread.join()

@@ -108,3 +108,36 @@ def test_trainer_loop_checkpoint_resume(tmp_path):
                     save_checkpoint_freq=100, use_tb_logger=False)
     state2 = loop2.fit(state2, batches(3), total_iter=7)
     assert int(state2.step) == 7
+
+
+def test_trainer_resume_from_abstract_state(tmp_path):
+    """Resume with a jax.eval_shape ABSTRACT template (what train_cli now
+    passes when a checkpoint exists, to avoid double device memory)."""
+    from pgtformer_tpu.train.stages import Stage1Trainer
+    from pgtformer_tpu.train.trainer import Trainer
+
+    trainer_core = Stage1Trainer(SMALL_VQ, FAST_HP, disc=SMALL_DISC)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    state = trainer_core.init_state(jax.random.PRNGKey(0), batch["gt"])
+
+    exp = str(tmp_path / "exp")
+    loop = Trainer(trainer_core, exp, print_freq=100, save_checkpoint_freq=4,
+                   val_freq=10 ** 9, use_tb_logger=False)
+
+    def batches(n):
+        for _ in range(n):
+            yield batch["gt"]
+
+    loop.fit(state, batches(4), total_iter=4)
+    assert loop.ckpt.latest_step() == 4
+
+    abstract = jax.eval_shape(
+        lambda: trainer_core.init_state(jax.random.PRNGKey(1), batch["gt"]))
+    loop2 = Trainer(trainer_core, exp, print_freq=100,
+                    save_checkpoint_freq=100, use_tb_logger=False)
+    state2 = loop2.fit(abstract, batches(2), total_iter=6)
+    assert int(state2.step) == 6
+    # re-saving an existing step is idempotent (final-save path)
+    loop2.ckpt.save(6, state2)
+    loop2.ckpt.save(6, state2)

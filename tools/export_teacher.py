@@ -51,10 +51,14 @@ def main():
         os.path.join(args.exp, f"net_g_{step}")))
     state = restore_host(os.path.abspath(
         os.path.join(args.exp, "state", str(step))))
-    variables = {"params": net["params_ema"],
-                 "codebook": state["g"]["codebook"]}
+    variables = {"params": net["params_ema"]}
+    g = state["g"]
+    for col in ("codebook", "batch_stats"):
+        if g.get(col) is not None:
+            variables[col] = g[col]
     save_reference_checkpoint(variables, args.out, param_key="params_ema")
-    print(f"exported step-{step} EMA params + codebook -> {args.out}")
+    print(f"exported step-{step} EMA params + {sorted(variables)} "
+          f"-> {args.out}")
 
 
 if __name__ == "__main__":
