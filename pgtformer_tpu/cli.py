@@ -70,6 +70,13 @@ def main(argv=None):
                              "for bitrate at the same CRF 18. On 1-core "
                              "hosts the x265 encode thread is the e2e "
                              "bottleneck - 'superfast' is a good choice")
+    parser.add_argument("--readback", type=str, default="auto",
+                        choices=("auto", "rgb", "yuv420"),
+                        help="device->host transfer format: yuv420 converts "
+                             "to BT.601 YUV420P on-device (half the bytes, "
+                             "no host swscale; needs the native writer); "
+                             "auto picks yuv420 unless --dump-frames/"
+                             "--encode-quality-check need host RGB")
     parser.add_argument("--inflight", type=int, default=3,
                         help="device chunks in flight before readback "
                              "(deeper = better latency hiding on remote "
@@ -92,9 +99,20 @@ def main(argv=None):
     sample_shape = (1, cfg.vqvae.tf, res, res, 3)
     variables = load_variables(model, cfg, args.weights, sample_shape, dtype)
 
+    readback = args.readback
+    if readback == "auto":
+        needs_rgb = bool(args.dump_frames or args.encode_quality_check)
+        try:
+            from pgtformer_tpu.io import native as _native
+            _native.load_library()
+            has_native = True
+        except Exception:
+            has_native = False
+        readback = "rgb" if (needs_rgb or not has_native
+                             or res % 2) else "yuv420"
     restorer = VideoRestorer(variables, cfg, w=args.fidelity,
                              batch_windows=args.batch, dtype=dtype,
-                             inflight=args.inflight)
+                             inflight=args.inflight, readback=readback)
     cbs = []
     if args.dump_frames:
         import os

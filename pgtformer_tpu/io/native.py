@@ -58,6 +58,11 @@ def load_library(build_if_missing: bool = True):
     lib.vw_write.restype = ctypes.c_int
     lib.vw_write.argtypes = [ctypes.c_void_p,
                              ctypes.POINTER(ctypes.c_uint8)]
+    lib.vw_write_yuv420.restype = ctypes.c_int
+    lib.vw_write_yuv420.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.POINTER(ctypes.c_uint8)]
     lib.vw_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -119,12 +124,28 @@ class NativeVideoWriter:
                 "(an explicitly requested encoder that is unavailable fails "
                 "rather than silently substituting another)")
 
+    supports_yuv420 = True
+
     def write(self, rgb_frame: np.ndarray):
         f = np.ascontiguousarray(rgb_frame, np.uint8)
         rc = self._lib.vw_write(
             self._h, f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc != 0:
             raise IOError("native writer: encode failed")
+
+    def write_yuv420(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Pre-converted planes: y [H, W], u/v [H/2, W/2] uint8 (the device
+        does the BT.601 conversion + 2x2 chroma subsampling, halving the
+        device->host transfer; pipeline.py)."""
+        p = ctypes.POINTER(ctypes.c_uint8)
+        y = np.ascontiguousarray(y, np.uint8)
+        u = np.ascontiguousarray(u, np.uint8)
+        v = np.ascontiguousarray(v, np.uint8)
+        rc = self._lib.vw_write_yuv420(self._h, y.ctypes.data_as(p),
+                                       u.ctypes.data_as(p),
+                                       v.ctypes.data_as(p))
+        if rc != 0:
+            raise IOError("native writer: yuv encode failed")
 
     def close(self):
         if self._h:

@@ -318,6 +318,31 @@ int vw_write(void* h, const uint8_t* rgb) {
   return 0;
 }
 
+// Pre-converted YUV420P planes (tightly packed: y [h][w], u/v [h/2][w/2]).
+// The device does the BT.601 colorspace math + chroma subsampling
+// (pipeline.py), so the host skips swscale entirely and the device->host
+// transfer shrinks from 3 to 1.5 bytes/pixel.
+int vw_write_yuv420(void* h, const uint8_t* y, const uint8_t* u,
+                    const uint8_t* v) {
+  auto* wr = static_cast<Writer*>(h);
+  const int w = wr->width, hh = wr->height;
+  if ((w | hh) & 1) return -1;
+  av_frame_make_writable(wr->frame);
+  for (int row = 0; row < hh; ++row)
+    memcpy(wr->frame->data[0] + (size_t)row * wr->frame->linesize[0],
+           y + (size_t)row * w, w);
+  for (int row = 0; row < hh / 2; ++row) {
+    memcpy(wr->frame->data[1] + (size_t)row * wr->frame->linesize[1],
+           u + (size_t)row * (w / 2), w / 2);
+    memcpy(wr->frame->data[2] + (size_t)row * wr->frame->linesize[2],
+           v + (size_t)row * (w / 2), w / 2);
+  }
+  wr->frame->pts = wr->pts++;
+  if (avcodec_send_frame(wr->codec, wr->frame) < 0) return -1;
+  write_pkt(wr);
+  return 0;
+}
+
 void vw_close(void* h) {
   auto* wr = static_cast<Writer*>(h);
   avcodec_send_frame(wr->codec, nullptr);

@@ -43,6 +43,25 @@ from pgtformer_tpu.models.pgtformer import PGTFormer
 from pgtformer_tpu.io.video import VideoReader, VideoWriter
 
 
+def _rgb_to_yuv420(out):
+    """Float RGB [B, H, W, 3] in [0,1] -> BT.601 limited-range YUV420P
+    planes (y [B, H, W], u/v [B, H/2, W/2], uint8).
+
+    Runs on-device so the host skips libswscale AND the device->host
+    transfer drops from 3 to 1.5 bytes/pixel — on high-latency links the
+    readback is the product-path ceiling (BASELINE.md round-3 phase
+    tables).  Chroma is the mean of each 2x2 block (MPEG-style siting)."""
+    r_, g_, b_ = out[..., 0], out[..., 1], out[..., 2]
+    y = 16.0 + 65.481 * r_ + 128.553 * g_ + 24.966 * b_
+    u = 128.0 - 37.797 * r_ - 74.203 * g_ + 112.0 * b_
+    v = 128.0 + 112.0 * r_ - 93.786 * g_ - 18.214 * b_
+    n, h, w = u.shape
+    u = u.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    v = v.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    q = lambda t: jnp.clip(jnp.round(t), 0.0, 255.0).astype(jnp.uint8)
+    return q(y), q(u), q(v)
+
+
 def _open_reader(path: str, backend: str):
     if backend in ("native", "auto"):
         try:
@@ -73,13 +92,19 @@ class VideoRestorer:
                  w: float = 1.0, batch_windows: int = 8,
                  dtype=jnp.bfloat16, io_backend: str = "auto",
                  use_pallas: Optional[bool] = None, mesh=None,
-                 inflight: int = 3):
+                 inflight: int = 3, readback: str = "rgb"):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — windows
         are sharded over it for multi-chip serving (batch_windows must be a
         multiple of the axis size).
         `inflight`: device chunks kept in flight before the oldest is read
         back — deeper pipelining hides readback latency (important on
-        high-latency host<->device links) at `inflight` chunks of HBM."""
+        high-latency host<->device links) at `inflight` chunks of HBM.
+        `readback`: 'rgb' (uint8 [B,H,W,3] chunks) or 'yuv420' (the device
+        converts to BT.601 YUV420P planes: half the device->host bytes and
+        no host swscale; needs the native writer and even H/W; RGB frame
+        callbacks / frame dumps are unavailable in this mode)."""
+        assert readback in ("rgb", "yuv420")
+        self.readback = readback
         if use_pallas is None:
             # fused kernels on TPU; XLA path elsewhere (pallas interpret on
             # CPU would be pathologically slow)
@@ -98,23 +123,21 @@ class VideoRestorer:
         # window i covers frames [i, i+T) of concat(tail(2r), new(B))
         win_idx = np.stack([np.arange(i, i + T) for i in range(B)])
 
-        shard_windows = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            assert B % mesh.shape["data"] == 0, (
-                "batch_windows must divide over the data axis")
-            rep = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P("data"))
-            shard_windows = lambda a: jax.lax.with_sharding_constraint(a, data)
-            if not any(isinstance(l, jax.ShapeDtypeStruct)
-                       for l in jax.tree.leaves(variables)):
-                self.variables = jax.device_put(variables, rep)
-
         def encode_frames(variables, frames_u8):
             """[F, H, W, 3]u8 -> per-frame feature pytree (pos, trunk, skips)."""
             x = frames_u8.astype(jnp.float32) / 255.0
             return self.model.apply(variables, x,
                                     method="encode_frames")
+
+        def restore(variables, windows):
+            pos, trunk, skips = windows
+            out, _, _ = self.model.apply(variables, pos, trunk, skips,
+                                         w=self.w, middle_only=True,
+                                         method="restore_windows")
+            out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+            if self.readback == "yuv420":
+                return _rgb_to_yuv420(out)
+            return jnp.round(out * 255.0).astype(jnp.uint8)
 
         def step(variables, tail_ff, new_u8):
             """tail per-frame features (last 2r frames) + new [B, H, W, 3]u8
@@ -124,19 +147,13 @@ class VideoRestorer:
                               tail_ff, ff_new)
             idx = jnp.asarray(win_idx)
             windows = jax.tree.map(lambda a: a[idx], ff)   # each [B, T, ...]
-            if shard_windows is not None:
-                windows = jax.tree.map(shard_windows, windows)
-            pos, trunk, skips = windows
-            out, _, _ = self.model.apply(variables, pos, trunk, skips,
-                                         w=self.w, middle_only=True,
-                                         method="restore_windows")
-            out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
-            out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
+            out_u8 = restore(variables, windows)
             tail = jax.tree.map(lambda a: a[-2 * r:] if r else a[:0], ff)
             return out_u8, tail
 
-        if mesh is not None:
-            self._step = jax.jit(step, out_shardings=(rep, rep))
+        if mesh is not None and mesh.shape["data"] > 1:
+            self._step = self._build_sharded_step(
+                mesh, encode_frames, restore)
         else:
             self._step = jax.jit(step)
         self._encode = jax.jit(encode_frames)
@@ -144,6 +161,94 @@ class VideoRestorer:
         self._tail = None
         self._first_chunk_s = None
         self._prime_s = 0.0
+
+    def _build_sharded_step(self, mesh, encode_frames, restore):
+        """Multi-chip serving step: shard_map over the mesh's 'data' axis.
+
+        TPU-native halo-exchange design (vs the reference's NCCL DDP which
+        never serves multi-GPU at all): frames are sharded over chips; each
+        chip encodes only its local B/n frames; the T-frame sliding windows
+        at shard boundaries need the 2r preceding frames, which arrive from
+        the ring-left neighbor via `ppermute` — O(2r) frames of ICI traffic
+        per step, independent of batch size.  (A plain
+        with_sharding_constraint formulation makes GSPMD all-gather ALL
+        B+2r frames' features to every chip each step — measured in the
+        compiled HLO, see __graft_entry__.py.)  The carried global tail
+        (the last 2r frames' features, replicated so chunk boundaries are
+        seamless) is rebuilt with one masked psum of the same O(2r) size.
+        Per-chip compute is identical to the single-chip graph, so
+        aggregate v5e-n throughput is n x the single-chip fps.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        B, T, r = self.batch, self.cfg.vqvae.tf, self.radius
+        n = mesh.shape["data"]
+        assert B % n == 0, "batch_windows must divide over the data axis"
+        Bl = B // n
+        assert r >= 1 and B >= 2 * r, "chunk must cover the temporal halo"
+        if not any(isinstance(l, jax.ShapeDtypeStruct)
+                   for l in jax.tree.leaves(self.variables)):
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(mesh, P()))
+        # halo depth: how many ring-left neighbors hold my 2r prefix frames
+        D = -(-2 * r // Bl) if r else 0
+        send_cnt = min(2 * r, Bl)
+        loc_idx = np.stack([np.arange(i, i + T) for i in range(Bl)])
+
+        def sharded_step(variables, tail_ff, new_u8):
+            # new_u8: LOCAL [Bl, H, W, 3]; tail_ff: replicated [2r, ...]
+            ff_local = encode_frames(variables, new_u8)
+            k = jax.lax.axis_index("data")
+
+            # ring halo: receive the last send_cnt frames of chips k-d
+            recvs = {}
+            for d in range(1, D + 1):
+                perm = [(j, (j + d) % n) for j in range(n)]
+                recvs[d] = jax.tree.map(
+                    lambda a: jax.lax.ppermute(a[-send_cnt:], "data", perm),
+                    ff_local)
+
+            # prefix slot m of chip k holds chunk-frame index k*Bl + m - 2r
+            # (negative = previous chunk, served by the carried tail at
+            # tail[k*Bl + m])
+            slots = []
+            for m in range(2 * r):
+                o = m - 2 * r
+                d_m = -(o // Bl)                 # ring-left distance
+                p_sent = o % Bl - (Bl - send_cnt)
+                t_idx = jnp.minimum(k * Bl + m, 2 * r - 1)
+                from_tail = jax.tree.map(lambda a: a[t_idx], tail_ff)
+                from_halo = jax.tree.map(lambda a: a[p_sent], recvs[d_m])
+                # chips k < d_m wrap around the ring: their prefix frames
+                # predate this chunk and come from the carried tail instead
+                slots.append(jax.tree.map(
+                    lambda t, h: jnp.where(k >= d_m, h, t),
+                    from_tail, from_halo))
+            prefix = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *slots)
+            ctx = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
+                               prefix, ff_local)
+
+            idx = jnp.asarray(loc_idx)
+            windows = jax.tree.map(lambda a: a[idx], ctx)  # [Bl, T, ...]
+            out_u8 = restore(variables, windows)
+
+            # next global tail = frames B-2r..B-1 of this chunk; slot m
+            # lives on chip (B-2r+m)//Bl — mask + psum replicates it
+            def new_tail(a):
+                parts = []
+                for m in range(2 * r):
+                    q, p = divmod(B - 2 * r + m, Bl)
+                    parts.append(jnp.where(k == q, a[p], jnp.zeros_like(a[p])))
+                return jax.lax.psum(jnp.stack(parts, 0), "data")
+            tail = jax.tree.map(new_tail, ff_local)
+            return out_u8, tail
+
+        return jax.jit(shard_map(
+            sharded_step, mesh=mesh,
+            in_specs=(P(), P(), P("data")),
+            out_specs=(P("data"), P()),
+            check_rep=False))
 
     def reset(self):
         self._tail = None
@@ -159,7 +264,8 @@ class VideoRestorer:
             t0 = time.perf_counter()
             out, self._tail = self._step(self.variables, self._tail,
                                          jnp.asarray(new_frames_u8))
-            np.asarray(out[0, 0, 0, :1])   # include compile in startup time
+            # include compile in startup time
+            np.asarray(jax.tree.leaves(out)[0].reshape(-1)[:1])
             self._first_chunk_s = time.perf_counter() - t0
             return out
         out, self._tail = self._step(self.variables, self._tail,
@@ -203,6 +309,11 @@ class VideoRestorer:
         werr: List[BaseException] = []
         encode_s = [0.0]
 
+        yuv = self.readback == "yuv420"
+        if yuv and frame_callback is not None:
+            raise ValueError("frame_callback needs readback='rgb' "
+                             "(yuv420 mode never materializes RGB on host)")
+
         def writer_main():
             writer = None
             try:
@@ -211,12 +322,21 @@ class VideoRestorer:
                     if frames is None:
                         break
                     te = time.perf_counter()
-                    for f in frames:
+                    if yuv:
+                        y, u, v = frames
                         if writer is None:
                             writer = _open_writer(output_path, reader.fps,
-                                                  f.shape[:2],
-                                                  self.io_backend, codec)
-                        writer.write(f)
+                                                  y.shape[1:3], "native",
+                                                  codec)
+                        for i in range(y.shape[0]):
+                            writer.write_yuv420(y[i], u[i], v[i])
+                    else:
+                        for f in frames:
+                            if writer is None:
+                                writer = _open_writer(output_path,
+                                                      reader.fps, f.shape[:2],
+                                                      self.io_backend, codec)
+                            writer.write(f)
                     encode_s[0] += time.perf_counter() - te
             except BaseException as e:  # surfaced after join
                 werr.append(e)
@@ -237,7 +357,7 @@ class VideoRestorer:
 
         def fetch(dev_out):
             t0f = time.perf_counter()
-            frames = np.asarray(dev_out)
+            frames = jax.tree.map(np.asarray, dev_out)
             return frames, time.perf_counter() - t0f
 
         def submit(dev_out, n_valid):
@@ -248,14 +368,14 @@ class VideoRestorer:
             fut, n_valid = entry
             with timer.stage("readback"):    # wait for device->host fetch
                 frames, _ = fut.result()
-            valid = frames[:n_valid]
+            valid = jax.tree.map(lambda a: a[:n_valid], frames)
             wq.put(valid)
             if frame_callback is not None:
                 for f in valid:
                     frame_callback(n_frames, f)
                     n_frames += 1
             else:
-                n_frames += len(valid)
+                n_frames += n_valid
 
         # Alignment: prime() consumes frame 0 into the device tail
         # ([f0]*2r); after that a chunk of B new frames yields exactly B

@@ -81,6 +81,116 @@ def test_video_restorer_multichip_matches_single(small_video, tmp_path):
     assert np.mean(np.abs(fa.astype(int) - fb.astype(int))) < 2.0
 
 
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_step_halo_exchange_exact(n_dev):
+    """The shard_map halo-exchange serving step is bit-identical to the
+    unsharded step across chunk boundaries, for local batch >= halo
+    (n_dev=2/4 -> Bl=4/2; the Bl<2r deep-halo case is covered by the
+    8-device end-to-end test above)."""
+    from pgtformer_tpu.pipeline import VideoRestorer
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+    from pgtformer_tpu.parallel.mesh import make_mesh
+
+    model = PGTFormer(SMALL_PGT)
+    x = jnp.zeros((1, 3, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, w=1.0)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (3, 8, 32, 32, 3), dtype=np.uint8)
+
+    def run(mesh):
+        r = VideoRestorer(variables, SMALL_PGT, batch_windows=8,
+                          dtype=jnp.float32, mesh=mesh)
+        r.prime(frames[0, 0])
+        return np.stack([np.asarray(r.restore_chunk(c)) for c in frames])
+
+    a = run(None)
+    b = run(make_mesh(n_dev))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rgb_to_yuv420_matches_opencv():
+    """Device BT.601 YUV420 conversion tracks cv2's I420 within rounding.
+
+    Chroma is compared on a smooth gradient: cv2 sites chroma at the
+    top-left pixel of each 2x2 block while the device path uses the MPEG
+    2x2 mean (higher quality); the conventions agree wherever chroma
+    varies smoothly.  Luma has no siting freedom and must match to 1."""
+    import cv2
+    from pgtformer_tpu.pipeline import _rgb_to_yuv420
+
+    gy, gx = np.mgrid[0:32, 0:32].astype(np.uint8)
+    rgb = np.stack([gy * 8, gx * 8, (gy + gx) * 4], -1)[None]
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+    y, u, v = jax.tree.map(np.asarray,
+                           _rgb_to_yuv420(jnp.asarray(rgb, jnp.float32)
+                                          / 255.0))
+    yn, _, _ = jax.tree.map(np.asarray,
+                            _rgb_to_yuv420(jnp.asarray(noise, jnp.float32)
+                                           / 255.0))
+    h, w = 32, 32
+    i420 = cv2.cvtColor(rgb[0], cv2.COLOR_RGB2YUV_I420)   # [H*3/2, W]
+    ref_y = i420[:h]
+    ref_u = i420[h:h + h // 4].reshape(h // 2, w // 2)
+    ref_v = i420[h + h // 4:].reshape(h // 2, w // 2)
+    assert np.abs(y[0].astype(int) - ref_y.astype(int)).max() <= 1
+    assert np.abs(u[0].astype(int) - ref_u.astype(int)).max() <= 3
+    assert np.abs(v[0].astype(int) - ref_v.astype(int)).max() <= 3
+    i420n = cv2.cvtColor(noise[0], cv2.COLOR_RGB2YUV_I420)
+    assert np.abs(yn[0].astype(int) - i420n[:h].astype(int)).max() <= 1
+
+
+def test_video_restorer_yuv420_readback(small_video, tmp_path):
+    """yuv420 device-side readback produces the same video as the RGB
+    path (through the same codec), at half the device->host bytes."""
+    pytest.importorskip("cv2")
+    from pgtformer_tpu.pipeline import VideoRestorer
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+    try:
+        from pgtformer_tpu.io.native import load_library
+        load_library()
+    except Exception:
+        pytest.skip("native writer unavailable")
+
+    model = PGTFormer(SMALL_PGT)
+    x = jnp.zeros((1, 3, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, w=1.0)
+
+    out_rgb = str(tmp_path / "rgb.mp4")
+    out_yuv = str(tmp_path / "yuv.mp4")
+    VideoRestorer(variables, SMALL_PGT, batch_windows=4, dtype=jnp.float32,
+                  io_backend="native").restore_video(small_video, out_rgb)
+    VideoRestorer(variables, SMALL_PGT, batch_windows=4, dtype=jnp.float32,
+                  io_backend="native",
+                  readback="yuv420").restore_video(small_video, out_yuv)
+
+    import cv2
+
+    def read_all(p):
+        cap = cv2.VideoCapture(p)
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f)
+        cap.release()
+        return np.stack(frames)
+
+    fa, fb = read_all(out_rgb), read_all(out_yuv)
+    assert fa.shape == fb.shape and fa.shape[0] == 10
+    # same content through the same codec.  Luma has no conversion freedom
+    # (compare tightly); chroma siting legitimately differs on this noise
+    # fixture (device MPEG 2x2-mean vs swscale's filter), so only its
+    # gross level is sanity-checked.
+    ya = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2YUV)[..., 0] for f in fa])
+    yb = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2YUV)[..., 0] for f in fb])
+    # (decoded RGB mixes the differently-sited chroma back into this Y
+    # estimate, hence the slack; a plane swap/shift bug reads >20)
+    assert np.mean(np.abs(ya.astype(int) - yb.astype(int))) < 3.0
+    assert np.mean(np.abs(fa.astype(int) - fb.astype(int))) < 16.0
+
+
 def test_trainer_loop_checkpoint_resume(tmp_path):
     from pgtformer_tpu.train.stages import Stage1Trainer
     from pgtformer_tpu.train.trainer import Trainer
