@@ -178,23 +178,27 @@ class FuseSftBlock(nn.Module):
     @nn.compact
     def __call__(self, enc_feat: jnp.ndarray, dec_feat: jnp.ndarray,
                  w: float = 1.0, middle_only: bool = False) -> jnp.ndarray:
+        import os
         B, T, H, W, C = enc_feat.shape
         enc = enc_feat.reshape(B * T, H, W, C)
         dec = dec_feat.reshape(B * T, H, W, C)
 
         # temporal-fusion path: per-frame 1x1 to tcc channels, frames folded
-        # into channels (t-major), mixed across frames, unfolded.  The
-        # fold/mix/unfold is ONE dot contracting (t, c) -> (s, d) — the
-        # parameter stays the reference's [1,1,2*T*tcc,T*tcc] conv kernel
-        # (checkpoint-port parity), but XLA folds the frame-major transpose
-        # into the GEMM operand layout instead of materializing it (the
-        # explicit fold/unfold copies cost ~3 ms/step at res 256).
-        enct = nn.Conv(self.tcc, (1, 1), dtype=self.dtype,
-                       name="tconvenc")(enc)
-        dect = nn.Conv(self.tcc, (1, 1), dtype=self.dtype,
-                       name="tconvdec")(dec)
+        # into channels (t-major), mixed across frames, unfolded.  Two
+        # equivalent evaluation plans, parameters identical (the reference's
+        # tconvenc/tconvdec 1x1 convs + [1,1,2*T*tcc,T*tcc] tfusion0 kernel):
+        #   * "conv": fold tconv* INTO the frame mix — one [C,tcc] x
+        #     [tcc,(s,d)] kernel combine per frame at trace time, evaluated
+        #     as a single height-T rhs-dilated conv over the (t-major row)
+        #     [B, T*H, W, C] view; stays on the NHWC conv path end to end
+        #     (the einsum plan lowers to a dot that forces row-major layout
+        #     copies of the 128-channel operands at res 256).
+        #   * "einsum": 1x1 convs then ONE dot contracting (t, c) -> (s, d).
+        tpath = os.environ.get("PGT_FUSE_TPATH", "conv")
 
         ttc = T * self.tcc
+        ke_k, ke_b = _ConvParams(C, self.tcc, ksize=1, name="tconvenc")()
+        kd_k, kd_b = _ConvParams(C, self.tcc, ksize=1, name="tconvdec")()
         kf, bf = _ConvParams(2 * ttc, ttc, ksize=1, name="tfusion0")()
         # [1,1,2ttc,ttc] t-major on both axes -> K[t, c, s, d]
         k_enc = kf[0, 0, :ttc, :].reshape(T, self.tcc, T, self.tcc)
@@ -209,19 +213,58 @@ class FuseSftBlock(nn.Module):
             k_dec = k_dec[:, :, mid:mid + 1]
             b_sd = b_sd[mid:mid + 1]
             t_out = 1
-        e5 = enct.reshape(B, T, H, W, self.tcc)
-        d5 = dect.reshape(B, T, H, W, self.tcc)
-        fut = (jnp.einsum("bthwc,tcsd->bshwd", e5,
-                          k_enc.astype(self.dtype))
-               + jnp.einsum("bthwc,tcsd->bshwd", d5,
-                            k_dec.astype(self.dtype))
-               + b_sd.astype(self.dtype)[None, :, None, None, :])
+
+        if tpath == "conv":
+            f32 = jnp.float32
+            # combined per-frame kernels [T, C, s, d] and bias [s, d]
+            Ke = jnp.einsum("ci,tisd->tcsd", ke_k[0, 0].astype(f32),
+                            k_enc.astype(f32))
+            Kd = jnp.einsum("ci,tisd->tcsd", kd_k[0, 0].astype(f32),
+                            k_dec.astype(f32))
+            bc = (jnp.einsum("i,tisd->sd", ke_b.astype(f32),
+                             k_enc.astype(f32))
+                  + jnp.einsum("i,tisd->sd", kd_b.astype(f32),
+                               k_dec.astype(f32))
+                  + b_sd.astype(f32))
+            sd = t_out * self.tcc
+
+            def tap_conv(x5, K):
+                # sum_t x[:, t] @ K[t]: height-T kernel with rhs_dilation=H
+                # over the t-major row view [B, T*H, W, C]
+                xr = x5.reshape(B, T * H, W, C)
+                kr = K.reshape(T, 1, C, sd).astype(self.dtype)
+                dn = jax.lax.conv_dimension_numbers(
+                    xr.shape, kr.shape, ("NHWC", "HWIO", "NHWC"))
+                return jax.lax.conv_general_dilated(
+                    xr, kr, window_strides=(1, 1), padding="VALID",
+                    rhs_dilation=(H, 1), dimension_numbers=dn)
+
+            fut = (tap_conv(enc_feat, Ke) + tap_conv(dec_feat, Kd)
+                   + bc.reshape(sd).astype(self.dtype))    # [B, H, W, s*d]
+            if t_out > 1:
+                fut = fut.reshape(B, H, W, t_out, self.tcc)
+                fut = fut.transpose(0, 3, 1, 2, 4)
+            fut = fut.reshape(B * t_out, H, W, self.tcc)
+        else:
+            enct = _conv2d(enc.astype(self.dtype),
+                           ke_k.astype(self.dtype), padding=0) \
+                + ke_b.astype(self.dtype)
+            dect = _conv2d(dec.astype(self.dtype),
+                           kd_k.astype(self.dtype), padding=0) \
+                + kd_b.astype(self.dtype)
+            e5 = enct.reshape(B, T, H, W, self.tcc)
+            d5 = dect.reshape(B, T, H, W, self.tcc)
+            fut = (jnp.einsum("bthwc,tcsd->bshwd", e5,
+                              k_enc.astype(self.dtype))
+                   + jnp.einsum("bthwc,tcsd->bshwd", d5,
+                                k_dec.astype(self.dtype))
+                   + b_sd.astype(self.dtype)[None, :, None, None, :])
+            fut = fut.reshape(B * t_out, H, W, self.tcc)
 
         if middle_only:
             # all remaining ops are per-frame: keep the middle frame only
             enc = enc_feat[:, mid:mid + 1].reshape(B, H, W, C)
             dec = dec_feat[:, mid:mid + 1].reshape(B, H, W, C)
-        fut = fut.reshape(B * t_out, H, W, self.tcc)
         fut = nn.Conv(self.tcc, (1, 1), dtype=self.dtype, name="tfusion1")(fut)
 
         feat = _SplitInResnetBlock(out_channels=self.out_ch,

@@ -314,25 +314,47 @@ def _pallas_sw_block(x: jnp.ndarray,
 
 
 def _stripe_kernel(num_heads, head_dim, c_model, T, wh, ww, nw, scale,
-                   masked, shifted, sw, out_dtype):
-    """Kernel over one window-row stripe [T, wh, W, C] (W = nw*ww)."""
+                   masked, shifted, sw, out_dtype, rps=1):
+    """Kernel over a stripe of `rps` window-rows [T, rps*wh, W, C]
+    (W = nw*ww).  Larger stripes mean bigger per-program GEMMs and fewer
+    grid steps — the projections/MLP of a 48-token window block are
+    launch-bound at one window-row per step."""
     N = T * wh * ww
     W = nw * ww
+    wblk = rps * nw
 
-    def assemble(stripe):
+    def assemble_row(stripe_row):
         # [T, wh, W, C] -> [nw*N, C] in window-token order (t, h, w)
-        t = stripe.reshape(T, wh, nw, ww, c_model)
+        t = stripe_row.reshape(T, wh, nw, ww, c_model)
         t = t.transpose(2, 0, 1, 3, 4)          # [nw, T, wh, ww, C]
         return t.reshape(nw * N, c_model)
 
-    def scatter(tokens):
-        # inverse of assemble
+    def scatter_row(tokens):
+        # inverse of assemble_row
         t = tokens.reshape(nw, T, wh, ww, c_model)
         t = t.transpose(1, 2, 0, 3, 4)          # [T, wh, nw, ww, C]
         return t.reshape(T, wh, W, c_model)
 
-    n_in_x = 2 if shifted else 1
-    n_out = 2 if shifted else 1
+    def assemble(stripe):
+        # [T, rps*wh, W, C] -> [wblk*N, C], windows row-major (rps, nw).
+        # Per-row 5D transposes + concat (a direct 6D transpose trips
+        # Mosaic's relayout lowering).
+        if rps == 1:
+            return assemble_row(stripe)
+        rows = [assemble_row(stripe[:, r * wh:(r + 1) * wh])
+                for r in range(rps)]
+        return jnp.concatenate(rows, axis=0)
+
+    def scatter(tokens):
+        # inverse of assemble
+        if rps == 1:
+            return scatter_row(tokens)
+        rows = [scatter_row(tokens[r * nw * N:(r + 1) * nw * N])
+                for r in range(rps)]
+        return jnp.concatenate(rows, axis=1)
+
+    n_in_x = 2 * rps if shifted else 1
+    n_out = 2 * rps if shifted else 1
 
     def kernel(*refs):
         x_refs = refs[:n_in_x]
@@ -345,37 +367,65 @@ def _stripe_kernel(num_heads, head_dim, c_model, T, wh, ww, nw, scale,
             mask_ref = None
 
         if shifted:
-            # rows arrive roll-ordered via the two mod-wrapped specs;
-            # roll the columns in-VMEM
-            stripe = jnp.concatenate([x_refs[0][0], x_refs[1][0]], axis=1)
+            # rows arrive roll-ordered via the mod-wrapped half-stripe
+            # specs; roll the columns in-VMEM
+            stripe = jnp.concatenate([r[0] for r in x_refs], axis=1)
             stripe = jnp.concatenate(
                 [stripe[:, :, sw:, :], stripe[:, :, :sw, :]], axis=2)
         else:
             stripe = x_refs[0][0]
 
-        mref = mask_ref[0] if mask_ref is not None else None
+        mref = None
+        if mask_ref is not None:
+            mref = mask_ref[:].reshape(wblk, N, N)
         out = _block_math(assemble(stripe).astype(jnp.bfloat16),
                           *param_refs, bias_ref, mref,
                           num_heads=num_heads, head_dim=head_dim,
-                          c_model=c_model, n_tokens=N, wblk=nw, scale=scale)
+                          c_model=c_model, n_tokens=N, wblk=wblk, scale=scale)
         y = scatter(out.astype(out_dtype))
         if shifted:
-            # inverse column roll, split rows back to the two half-stripes
+            # inverse column roll, split rows back into the half-stripes
             y = jnp.concatenate([y[:, :, W - sw:, :], y[:, :, :W - sw, :]],
                                 axis=2)
             sh = wh // 2
-            out_refs[0][0] = y[:, :sh]
-            out_refs[1][0] = y[:, sh:]
+            for j, oref in enumerate(out_refs):
+                oref[0] = y[:, j * sh:(j + 1) * sh]
         else:
             out_refs[0][0] = y
 
     return kernel
 
 
+def _pick_rps(n_rows: int, nw: int, n_tokens: int, c_model: int,
+              num_heads: int) -> int:
+    """Stripe height (window-rows per program): largest divisor of n_rows
+    whose per-program VMEM footprint stays under budget.
+
+    The block math holds ~22*C + 8*Cq bytes per token of live intermediates
+    (fp32 LN/residual/MLP copies + bf16 q/kv with lane-padded head dim), so
+    the token count per program — not the stripe bytes — is the binding
+    constraint (measured: 3072 tokens at C=256 overflows a 16 MB VMEM)."""
+    hd = c_model // num_heads
+    hd_p = 128 if hd == 64 else hd
+    cq = num_heads * hd_p
+    bytes_per_token = 22 * c_model + 8 * cq
+    budget = 12 * 1024 * 1024
+    best = 1
+    for rps in range(1, n_rows + 1):
+        if n_rows % rps:
+            continue
+        tokens = rps * nw * n_tokens
+        if tokens * bytes_per_token <= budget:
+            best = rps
+    return best
+
+
 def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
-                        window, shift, interpret=False):
+                        window, shift, interpret=False,
+                        rows_per_stripe: Optional[int] = None):
     """Raw 5D fused forward.  x [B, T, H, W, C]; shift must be 0 or
     half-window in both axes."""
+    import os
     B, T, H, W, C = x.shape
     wh, ww = window
     sh, sw = shift
@@ -385,6 +435,12 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
     scale = hd ** -0.5
     shifted = sh > 0 or sw > 0
     assert (not shifted) or (sh * 2 == wh and sw * 2 == ww), (shift, window)
+    n_rows = H // wh
+    rps = rows_per_stripe
+    if rps is None:
+        env = os.environ.get("PGT_SW_RPS", "")
+        rps = int(env) if env else _pick_rps(n_rows, nw, N, C, num_heads)
+    assert n_rows % rps == 0, (n_rows, rps)
 
     p = block_params
     a = p["attn1"]
@@ -433,27 +489,27 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
         rep((C, C)), rep((C,)),
     ]
 
-    grid = (B, H // wh)
+    grid = (B, n_rows // rps)
     xb = x.astype(jnp.bfloat16)
     masked = mask is not None
 
     if shifted:
         n_half = H // sh                      # height-sh row blocks
-        top_spec = pl.BlockSpec(
-            (1, T, sh, W, C),
-            lambda b, r: (b, 0, (2 * r + 1) % n_half, 0, 0),
-            memory_space=pltpu.VMEM)
-        bot_spec = pl.BlockSpec(
-            (1, T, sh, W, C),
-            lambda b, r: (b, 0, (2 * r + 2) % n_half, 0, 0),
-            memory_space=pltpu.VMEM)
-        in_specs = [top_spec, bot_spec] + param_specs
-        args = [xb, xb] + param_args
-        out_specs = (top_spec, bot_spec)
-        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),) * 2
+        nhs = 2 * rps                         # half-stripes per program
+
+        def half_spec(j):
+            return pl.BlockSpec(
+                (1, T, sh, W, C),
+                lambda b, r, j=j: (b, 0, (nhs * r + 1 + j) % n_half, 0, 0),
+                memory_space=pltpu.VMEM)
+        half_specs = [half_spec(j) for j in range(nhs)]
+        in_specs = half_specs + param_specs
+        args = [xb] * nhs + param_args
+        out_specs = tuple(half_specs)
+        out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),) * nhs
     else:
         stripe_spec = pl.BlockSpec(
-            (1, T, wh, W, C), lambda b, r: (b, 0, r, 0, 0),
+            (1, T, rps * wh, W, C), lambda b, r: (b, 0, r, 0, 0),
             memory_space=pltpu.VMEM)
         in_specs = [stripe_spec] + param_specs
         args = [xb] + param_args
@@ -463,14 +519,14 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
     args.append(rel_bias.astype(jnp.float32))
     in_specs.append(rep((num_heads, N, N)))
     if masked:
-        m = jnp.asarray(mask, jnp.float32).reshape(H // wh, nw, N, N)
+        m = jnp.asarray(mask, jnp.float32).reshape(n_rows, nw, N, N)
         args.append(m)
-        in_specs.append(pl.BlockSpec((1, nw, N, N),
+        in_specs.append(pl.BlockSpec((rps, nw, N, N),
                                      lambda b, r: (r, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
 
     kernel = _stripe_kernel(num_heads, hd_p, C, T, wh, ww, nw, scale,
-                            masked, shifted, sw, x.dtype)
+                            masked, shifted, sw, x.dtype, rps=rps)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -480,15 +536,20 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
         interpret=interpret,
     )(*args)
     if shifted:
-        # each program writes disjoint half-stripes of both outputs; rows
-        # [sh:] mod-wrap live in out[0] (top halves), rows [:sh] in out[1].
-        # Reassemble: out_top holds half-blocks (2r+1), out_bot (2r+2).
-        top, bot = out
+        # each program writes 2*rps disjoint sh-row half-blocks, one per
+        # output array: half-block k was written by output j = (k-1) mod
+        # (2*rps).  Reassemble by static selection.
         n_half = H // sh
-        t = top.reshape(B, T, n_half, sh, W, C)
-        b_ = bot.reshape(B, T, n_half, sh, W, C)
-        sel = (np.arange(n_half) % 2 == 1)[None, None, :, None, None, None]
-        merged = jnp.where(jnp.asarray(sel), t, b_)
+        sel_j = (np.arange(n_half) - 1) % nhs
+        merged = None
+        for j, oj in enumerate(out):
+            yj = oj.reshape(B, T, n_half, sh, W, C)
+            if merged is None:
+                merged = yj
+                continue
+            m_ = jnp.asarray(
+                (sel_j == j)[None, None, :, None, None, None])
+            merged = jnp.where(m_, yj, merged)
         return merged.reshape(B, T, H, W, C)
     return out
 

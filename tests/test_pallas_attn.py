@@ -272,6 +272,16 @@ def test_fused_block_5d_matches_token_kernel(C, heads, shift):
     np.testing.assert_array_equal(np.asarray(y_5d, np.float32),
                                   np.asarray(y_tok, np.float32))
 
+    # every stripe height divides the same answer (1 = single window-row,
+    # 2 = multi-row with 4 mod-wrapped half-stripes when shifted, 4 = the
+    # whole image in one program)
+    for rps in (1, 2, 4):
+        y_r = _pallas_sw_block_5d(x, v["params"], bias, mask, heads, win,
+                                  shift, interpret=True,
+                                  rows_per_stripe=rps)
+        np.testing.assert_array_equal(np.asarray(y_r, np.float32),
+                                      np.asarray(y_tok, np.float32))
+
 
 def test_fused_block_5d_grad_matches_xla():
     """fused_sw_block_5d custom VJP == XLA-path grads (small geometry)."""
