@@ -68,13 +68,25 @@ BUCKETS = (
 
 
 def bucket_of(name: str) -> str:
+    # match on "NAME = TYPE opcode" only — operand lists contain other ops'
+    # names (%copy.N, %convolution.N, ...) and must not leak into the bucket
+    head = name.split("(", 1)[0]
     for label, pat in BUCKETS:
-        if pat.search(name):
+        if pat.search(head):
             return label
     return "misc"
 
 
-ASYNC_PAT = re.compile(r"copy-start|copy-done|send|recv|-start\b", re.I)
+# Classify by the op's OWN name only (the text before " = "): operand lists
+# routinely contain %copy-done.N / %copy-start.N references, which must not
+# mark a compute fusion as an async copy span.
+ASYNC_PAT = re.compile(
+    r"^%?[\w.\-]*?(copy-start|copy-done|send|recv|all-gather-start|"
+    r"all-reduce-start|collective-permute-start)", re.I)
+
+
+def own_name(name: str) -> str:
+    return name.split(" = ", 1)[0]
 
 
 def parse_xplanes(log_dir: str, verbose: bool = False):
@@ -105,7 +117,7 @@ def parse_xplanes(log_dir: str, verbose: bool = False):
                     continue
                 for ev in line.events:
                     name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                    tgt = async_ if ASYNC_PAT.search(name) else sync
+                    tgt = async_ if ASYNC_PAT.search(own_name(name)) else sync
                     tgt[name] += ev.duration_ps
     return sync, async_
 
@@ -165,6 +177,11 @@ def report(sync, async_, iters, top):
     print(f"\n-- top {top} sync ops (ms/step) --")
     for name, ms in sorted(per_iter.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{ms:8.3f}  {name[:120]}")
+
+    per_iter_a = {k: v / iters / 1e9 for k, v in async_.items()}
+    print(f"\n-- top {top} async spans (ms/step; may overlap compute) --")
+    for name, ms in sorted(per_iter_a.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms:8.3f}  {name[:160]}")
 
 
 if __name__ == "__main__":
