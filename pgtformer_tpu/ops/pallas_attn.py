@@ -30,8 +30,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _layer_norm(x32: jnp.ndarray, scale, bias, eps=1e-5):
-    mean = x32.mean(axis=-1, keepdims=True)
-    var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    """LN with the channel reductions done on the MXU: sum and sum-of-
+    squares via one-pass dots against a ones matrix (fp32 accumulate).
+    Cross-lane VPU reductions over C are the single most expensive
+    non-matmul op in the fused block (~0.5 ms of an ~8 ms res-128 stripe
+    kernel, tools/exp_sw_kernel.py); two skinny [M,C]@[C,8] dots are
+    effectively free next to the block's projection GEMMs."""
+    n = x32.shape[-1]
+    ones = jnp.ones((n, 8), jnp.float32)
+    ssum = jax.lax.dot_general(x32, ones, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)[:, :1]
+    sqsum = jax.lax.dot_general(x32 * x32, ones, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)[:, :1]
+    mean = ssum / n
+    var = sqsum / n - mean * mean
     return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
@@ -489,7 +501,10 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
         rep((C, C)), rep((C,)),
     ]
 
-    grid = (B, n_rows // rps)
+    # grid order (r, b): b iterates fastest, so the mask block (a function
+    # of r only) keeps the same block index across consecutive programs and
+    # Mosaic skips its re-fetch — B-1 of every B mask DMAs eliminated.
+    grid = (n_rows // rps, B)
     xb = x.astype(jnp.bfloat16)
     masked = mask is not None
 
@@ -500,7 +515,7 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
         def half_spec(j):
             return pl.BlockSpec(
                 (1, T, sh, W, C),
-                lambda b, r, j=j: (b, 0, (nhs * r + 1 + j) % n_half, 0, 0),
+                lambda r, b, j=j: (b, 0, (nhs * r + 1 + j) % n_half, 0, 0),
                 memory_space=pltpu.VMEM)
         half_specs = [half_spec(j) for j in range(nhs)]
         in_specs = half_specs + param_specs
@@ -509,7 +524,7 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
         out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),) * nhs
     else:
         stripe_spec = pl.BlockSpec(
-            (1, T, rps * wh, W, C), lambda b, r: (b, 0, r, 0, 0),
+            (1, T, rps * wh, W, C), lambda r, b: (b, 0, r, 0, 0),
             memory_space=pltpu.VMEM)
         in_specs = [stripe_spec] + param_specs
         args = [xb] + param_args
@@ -522,7 +537,7 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
         m = jnp.asarray(mask, jnp.float32).reshape(n_rows, nw, N, N)
         args.append(m)
         in_specs.append(pl.BlockSpec((rps, nw, N, N),
-                                     lambda b, r: (r, 0, 0, 0),
+                                     lambda r, b: (r, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
 
     kernel = _stripe_kernel(num_heads, hd_p, C, T, wh, ww, nw, scale,
@@ -538,18 +553,15 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
     if shifted:
         # each program writes 2*rps disjoint sh-row half-blocks, one per
         # output array: half-block k was written by output j = (k-1) mod
-        # (2*rps).  Reassemble by static selection.
+        # (2*rps), i.e. output j holds exactly the rows k % nhs == (j+1)
+        # % nhs.  Interleave by strided slices — reads only the written
+        # half of each output (the jnp.where form re-read every output in
+        # full: ~2x the merge traffic).
         n_half = H // sh
-        sel_j = (np.arange(n_half) - 1) % nhs
-        merged = None
-        for j, oj in enumerate(out):
-            yj = oj.reshape(B, T, n_half, sh, W, C)
-            if merged is None:
-                merged = yj
-                continue
-            m_ = jnp.asarray(
-                (sel_j == j)[None, None, :, None, None, None])
-            merged = jnp.where(m_, yj, merged)
+        outs = [oj.reshape(B, T, n_half // nhs, nhs, sh, W, C)
+                for oj in out]
+        merged = jnp.stack([outs[(i - 1) % nhs][:, :, :, i]
+                            for i in range(nhs)], axis=3)
         return merged.reshape(B, T, H, W, C)
     return out
 
