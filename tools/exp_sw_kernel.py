@@ -486,12 +486,76 @@ def main():
         f = (jnp.dot(f, wf2[:], preferred_element_type=jnp.float32) + bf2[:])
         return x2 + f
 
+    # ---- v9: windows packed P-at-a-time into block-diagonal score dots.
+    # Rows/cols per dot go N -> P*N (better MXU tile fill, 1/P the issue
+    # count) at the cost of P x attention FLOPs and P^2 x softmax elements;
+    # off-diagonal blocks are -1e9 before softmax so the result is exact.
+    def make_pack(P):
+        def bm_pack(x_, ln1s, ln1b, wq, bq, wkv, bkv, wp, bp, ln2s, ln2b,
+                    wf1, bf1, wf2, bf2, bias_ref, mask_ref,
+                    num_heads, head_dim, c_model, n_tokens, wblk, scale):
+            Cq = num_heads * head_dim
+            Nn = n_tokens
+            G = wblk // P
+            PN = P * Nn
+            x32 = x_.astype(jnp.float32)
+            h1 = pallas_attn._layer_norm(x32, ln1s[:],
+                                         ln1b[:]).astype(jnp.bfloat16)
+            q = (jnp.dot(h1, wq[:], preferred_element_type=jnp.float32)
+                 + bq[:]).astype(jnp.bfloat16)
+            kv = (jnp.dot(h1, wkv[:], preferred_element_type=jnp.float32)
+                  + bkv[:]).astype(jnp.bfloat16)
+            k, v = kv[:, :Cq], kv[:, Cq:]
+            r_ = jax.lax.broadcasted_iota(jnp.int32, (PN, PN), 0)
+            c_ = jax.lax.broadcasted_iota(jnp.int32, (PN, PN), 1)
+            offdiag = jnp.where((r_ // Nn) == (c_ // Nn),
+                                jnp.float32(0), jnp.float32(-1e9))
+            extra = offdiag[None]
+            if mask_ref is not None:
+                m = mask_ref[:].reshape(G, P, Nn, Nn)
+                rows = []
+                for pi in range(P):
+                    row = [m[:, pi] if pj == pi
+                           else jnp.zeros((G, Nn, Nn), jnp.float32)
+                           for pj in range(P)]
+                    rows.append(jnp.concatenate(row, axis=-1))
+                extra = extra + jnp.concatenate(rows, axis=1)
+            outs = []
+            for hi in range(num_heads):
+                slc = slice(hi * head_dim, (hi + 1) * head_dim)
+                qh = (q[:, slc] * jnp.bfloat16(scale)).reshape(G, PN,
+                                                               head_dim)
+                kh = k[:, slc].reshape(G, PN, head_dim)
+                vh = v[:, slc].reshape(G, PN, head_dim)
+                s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+                s = s + jnp.tile(bias_ref[hi], (P, P))[None] + extra
+                p_ = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+                oh = jax.lax.dot_general(p_, vh, (((2,), (1,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
+                outs.append(oh.reshape(wblk * Nn, head_dim))
+            attn_out = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+            proj = (jnp.dot(attn_out, wp[:],
+                            preferred_element_type=jnp.float32) + bp[:])
+            x2 = x32 + proj
+            h2 = pallas_attn._layer_norm(x2, ln2s[:],
+                                         ln2b[:]).astype(jnp.bfloat16)
+            f = (jnp.dot(h2, wf1[:], preferred_element_type=jnp.float32)
+                 + bf1[:])
+            f = jax.nn.gelu(f, approximate=True).astype(jnp.bfloat16)
+            f = (jnp.dot(f, wf2[:], preferred_element_type=jnp.float32)
+                 + bf2[:])
+            return x2 + f
+        return bm_pack
+
     variants = {"passthru": bm_passthru, "gemm-only": bm_gemmonly,
                 "floor": bm_noattn, "floor-bf16ln": bm_noattn_bf16ln,
                 "v1-batched": bm_batched, "v2-postnorm": bm_postnorm,
                 "v3-explicit": bm_explicit, "v5-stacked": bm_stacked,
                 "v5c-stacked-nobias": bm_stacked_nobias,
-                "v6-bf16scores": bm_bf16scores, "v8-maskdot": bm_maskdot}
+                "v6-bf16scores": bm_bf16scores, "v8-maskdot": bm_maskdot,
+                "v9-pack2": make_pack(2), "v9-pack4": make_pack(4),
+                "v9-pack8": make_pack(8)}
     want = args.variants.split(",") if args.variants != "all" else variants
     for tag, fn in variants.items():
         if tag not in want:
