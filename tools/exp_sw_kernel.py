@@ -35,6 +35,11 @@ B, T, H, W, C = 8, 3, 128, 128, 256
 HEADS = 8
 WIN = (4, 4)
 
+if os.environ.get("PGT_EXP_GEOM"):
+    # e.g. PGT_EXP_GEOM=8,3,64,64,512 — the res-64 decoder geometry, where
+    # hd=64 triggers the Mosaic lane-pad to 128 (2x Q/K/V/proj FLOPs)
+    B, T, H, W, C = map(int, os.environ["PGT_EXP_GEOM"].split(","))
+
 
 def make_params(rng):
     def w(*shape):
