@@ -369,6 +369,8 @@ class VideoRestorer:
             with timer.stage("readback"):    # wait for device->host fetch
                 frames, _ = fut.result()
             valid = jax.tree.map(lambda a: a[:n_valid], frames)
+            if werr:  # writer thread died: surface its error instead of
+                raise werr[0]  # blocking forever on a full queue
             wq.put(valid)
             if frame_callback is not None:
                 for f in valid:
