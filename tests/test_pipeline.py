@@ -251,3 +251,28 @@ def test_trainer_resume_from_abstract_state(tmp_path):
     # re-saving an existing step is idempotent (final-save path)
     loop2.ckpt.save(6, state2)
     loop2.ckpt.save(6, state2)
+
+
+def test_writer_failure_surfaces_not_hangs(small_video, tmp_path, monkeypatch):
+    """A dead encoder thread must raise to the caller, not deadlock the
+    drain loop on a full writer queue (pipeline.py drain())."""
+    import pgtformer_tpu.pipeline as pl
+    from pgtformer_tpu.pipeline import VideoRestorer
+    from pgtformer_tpu.models.pgtformer import PGTFormer
+
+    class BoomWriter:
+        def write(self, frame):
+            raise RuntimeError("encoder exploded")
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(pl, "_open_writer",
+                        lambda *a, **k: BoomWriter())
+    model = PGTFormer(SMALL_PGT)
+    x = jnp.zeros((1, 3, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, w=1.0)
+    restorer = VideoRestorer(variables, SMALL_PGT, w=1.0, batch_windows=2,
+                             dtype=jnp.float32, inflight=1)
+    with pytest.raises(RuntimeError, match="encoder exploded"):
+        restorer.restore_video(small_video, str(tmp_path / "out.mp4"))
