@@ -14,6 +14,7 @@ is ported on the fly.  Without weights the model runs randomly initialized
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -86,7 +87,14 @@ def main(argv=None):
                              "encoded-vs-restored PSNR/SSIM on sampled "
                              "frames (stand-in for the reference's bundled "
                              "VMAF models, ffmpeg_lib/model/)")
+    parser.add_argument("--vmaf-model", type=str, default=None,
+                        help="VMAF model JSON for --encode-quality-check "
+                             "(default: vendored vmaf_v0.6.1.json; env "
+                             "PGT_VMAF_MODEL also honored)")
+    from pgtformer_tpu import knobs
+    knobs.add_cli_flags(parser)
     args = parser.parse_args(argv)
+    knobs.apply_cli_args(args)
 
     from pgtformer_tpu.config import RELEASE_PGTFORMER
     from pgtformer_tpu.pipeline import VideoRestorer
@@ -154,7 +162,9 @@ def main(argv=None):
         from pgtformer_tpu.eval.metrics import calculate_psnr, calculate_ssim
         from pgtformer_tpu.eval import vmaf as vmaf_mod
         from pgtformer_tpu.pipeline import _open_reader
-        scorer = (vmaf_mod.VmafScorer() if vmaf_mod.available() else None)
+        model_path = args.vmaf_model or vmaf_mod.DEFAULT_MODEL
+        scorer = (vmaf_mod.VmafScorer(model_path)
+                  if os.path.exists(model_path) else None)
         rd = _open_reader(args.output_video, "auto")
         psnrs, ssims = [], []
         for i, enc in enumerate(rd):

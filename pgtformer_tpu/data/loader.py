@@ -177,3 +177,39 @@ def _proc_init(dataset, keys):
 def _proc_load(idxs):
     ds = _PROC_STATE["dataset"]
     return _collate([ds[int(i)] for i in idxs], _PROC_STATE["keys"])
+
+
+def device_prefetch(iterator, put, depth: int = 2):
+    """Run `put(batch)` (jax.device_put / shard_batch) one-or-more batches
+    AHEAD of the consumer, on a dedicated thread.
+
+    The host->device upload of batch k+1 then overlaps the device compute
+    of batch k (the reference overlaps uploads via DataLoader
+    `pin_memory`+`prefetch_mode`; under jax the dispatch thread would
+    otherwise serialize upload -> step -> upload).  `depth` device-resident
+    batches are kept in flight.  Exceptions (from the loader or the
+    transfer) propagate to the consumer."""
+    import queue as _queue
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def run():
+        try:
+            for b in iterator:
+                q.put(put(b))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -57,7 +57,15 @@ class VFHQClipDataset:
                  degradation: str = "blr", phase: str = "train",
                  use_hflip: bool = False, upsample_lq: bool = True,
                  inter_space: int = 1, rotate_range: float = 0.0,
-                 seed: int = 0):
+                 seed: int = 0, output_dtype: str = "float32"):
+        assert output_dtype in ("float32", "uint8")
+        # "uint8": ship [0,255] uint8 clips (4x smaller host->device
+        # uploads; the jitted train steps dequantize on device).  `gt`
+        # round-trips exactly (disk frames are uint8 and the train-time
+        # transforms stay in uint8); `lq` picks up <=0.5/255 quantization
+        # from the float bilinear upsample — negligible against the blind
+        # degradation it carries.
+        self.output_dtype = output_dtype
         self.root = root
         self.r = r
         self.length = 2 * r + 1
@@ -186,6 +194,9 @@ class VFHQClipDataset:
             lq = lq[:, :, ::-1].copy()
             llq = llq[:, :, ::-1].copy()
 
+        if self.output_dtype == "uint8":
+            q = lambda a: np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+            gt, lq, llq = q(gt), q(lq), q(llq)
         return {"gt": gt, "lq": lq, "llq": llq,
                 "path": f"{clip}/{self.frames[clip][center]}"}
 

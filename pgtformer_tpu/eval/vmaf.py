@@ -1,7 +1,10 @@
 """Clean-room VMAF: elementary features (VIF x4 scales, DLM/ADM, motion2)
-+ the nu-SVR fusion model read from the reference's shipped model JSON
-(`/root/reference/ffmpeg_lib/model/vmaf_v0.6.1.json` and friends — data
-files, not code).
++ the nu-SVR fusion model read from a VMAF model JSON.  A copy of the
+reference's shipped `vmaf_v0.6.1.json` (reference ffmpeg_lib/model/ — a
+Netflix-published model *data* file, not code) is vendored under
+`pgtformer_tpu/eval/models/` so the framework has no runtime dependency
+on the reference checkout; override via $PGT_VMAF_MODEL or the CLI's
+--vmaf-model.
 
 The reference repo ships these models for measuring encoded-output quality
 with a libvmaf-enabled ffmpeg (SURVEY.md §2.5); this environment has no
@@ -37,7 +40,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-DEFAULT_MODEL = "/root/reference/ffmpeg_lib/model/vmaf_v0.6.1.json"
+# vendored copy of the reference's shipped model data file
+# (ffmpeg_lib/model/vmaf_v0.6.1.json — Netflix BSD+Patent-licensed model
+# data distributed with libvmaf); override with $PGT_VMAF_MODEL or the
+# eval CLI's --vmaf-model flag
+_VENDORED_MODEL = os.path.join(os.path.dirname(__file__), "models",
+                               "vmaf_v0.6.1.json")
+DEFAULT_MODEL = os.environ.get("PGT_VMAF_MODEL", _VENDORED_MODEL)
 
 # --------------------------------------------------------------------------
 # shared small-kernel helpers (numpy; frames are [H, W] float64 luma 0..255)

@@ -41,7 +41,10 @@ def main(argv=None):
                         help="also emit Deg/LMD/TLME/MSRL (reference "
                              "README.md:127) via the pluggable "
                              "landmark/embedder fallbacks (eval/landmarks.py)")
+    from pgtformer_tpu import knobs
+    knobs.add_cli_flags(parser)
     args = parser.parse_args(argv)
+    knobs.apply_cli_args(args)
 
     import jax
     import jax.numpy as jnp

@@ -194,7 +194,8 @@ class FuseSftBlock(nn.Module):
         #     (the einsum plan lowers to a dot that forces row-major layout
         #     copies of the 128-channel operands at res 256).
         #   * "einsum": 1x1 convs then ONE dot contracting (t, c) -> (s, d).
-        tpath = os.environ.get("PGT_FUSE_TPATH", "conv")
+        from pgtformer_tpu import knobs
+        tpath = knobs.get("FUSE_TPATH")
 
         ttc = T * self.tcc
         ke_k, ke_b = _ConvParams(C, self.tcc, ksize=1, name="tconvenc")()

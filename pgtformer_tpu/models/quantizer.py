@@ -56,9 +56,9 @@ def find_nearest_embedding(weight: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     TPU/CPU backends.  Set ``PGT_EXACT_VQ=1`` to force the exact-XLA argmin
     (e.g. when reproducing reference code sequences bit-for-bit).
     """
-    import os
+    from pgtformer_tpu import knobs
     if (jax.default_backend() == "tpu"
-            and os.environ.get("PGT_EXACT_VQ", "0") != "1"):
+            and knobs.get("EXACT_VQ") != "1"):
         # fused VMEM lookup: the [N, n_embed] distance matrix never reaches
         # HBM (ops/pallas_vq.py; falls back to XLA off-TPU / odd geometry)
         from pgtformer_tpu.ops.pallas_vq import nearest_code_pallas

@@ -245,7 +245,8 @@ class Decoder3D(nn.Module):
                 # measured A/B on chip), so the default is off; standalone
                 # restore graphs DO win ~37 ms/6 windows with "1" — see
                 # BASELINE.md round-2 notes.
-                tail_mode = os.environ.get("PGT_FUSED_TAIL", "0")
+                from pgtformer_tpu import knobs
+                tail_mode = knobs.get("FUSED_TAIL")
                 # bf16-only: the kernels compute in bf16 internally, so
                 # enabling them under fp32 serving would silently demote
                 # decoder-tail precision

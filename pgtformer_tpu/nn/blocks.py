@@ -188,8 +188,8 @@ class Upsample(nn.Module):
             x = x.reshape(B * T, H, W, C)
         if self.with_conv and self.subpixel:
             k3, b = _Conv3x3Params(x.shape[-1], name="conv")()
-            import os
-            if os.environ.get("PGT_SUBPIXEL", "dilated") == "dilated":
+            from pgtformer_tpu import knobs
+            if knobs.get("SUBPIXEL") == "dilated":
                 x = _subpixel_up_conv_dilated(x, k3, b, self.dtype)
             else:
                 x = _subpixel_up_conv(x, k3, b, self.dtype)
@@ -447,14 +447,33 @@ class EncoderLayer(nn.Module):
         # the kernel (BlockSpec row stripes + in-VMEM shift) — no XLA-side
         # partition/reverse/roll traffic.  "tokens": the round-2 kernel on
         # an XLA-partitioned token array.
-        use_5d = (os.environ.get("PGT_SW_KERNEL", "5d") == "5d"
+        from pgtformer_tpu import knobs
+        use_5d = (knobs.get("SW_KERNEL") == "5d"
                   and all(w % 2 == 0 for w in win))
-        for i in range(self.depth):
+        # [no-shift, shift] pairs run as ONE kernel: block-0's result is
+        # carried in VMEM scratch instead of round-tripping HBM between
+        # blocks (ops/pallas_attn.py pair kernel; bit-identical)
+        use_pair = use_5d and knobs.get("SW_PAIR") == "1"
+
+        def block_bias(p):
+            table = p["attn1"]["relative_position_bias_table"]
+            b = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
+            return b.transpose(2, 0, 1)
+
+        i = 0
+        while use_pair and i + 1 < self.depth:
+            from pgtformer_tpu.ops.pallas_attn import fused_sw_block_pair_5d
+            p0 = params[f"blocks_{i}"]
+            p1 = params[f"blocks_{i + 1}"]
+            mask1 = shifted_window_mask(T, H, W, tuple(win), tuple(half))
+            x = fused_sw_block_pair_5d(x, p0, p1, block_bias(p0),
+                                       block_bias(p1), mask1,
+                                       self.num_heads, tuple(win))
+            i += 2
+        for i in range(i, self.depth):
             shift = (0, 0) if i % 2 == 0 else half
             p = params[f"blocks_{i}"]
-            table = p["attn1"]["relative_position_bias_table"]
-            bias = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
-            bias = bias.transpose(2, 0, 1)
+            bias = block_bias(p)
             shifted = any(s > 0 for s in shift)
             mask = (shifted_window_mask(T, H, W, tuple(win), tuple(shift))
                     if shifted else None)

@@ -450,7 +450,8 @@ def _pallas_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
     n_rows = H // wh
     rps = rows_per_stripe
     if rps is None:
-        env = os.environ.get("PGT_SW_RPS", "")
+        from pgtformer_tpu import knobs
+        env = knobs.get("SW_RPS")
         rps = int(env) if env else _pick_rps(n_rows, nw, N, C, num_heads)
     assert n_rows % rps == 0, (n_rows, rps)
 
@@ -603,3 +604,283 @@ def fused_sw_block_5d(x, block_params, rel_bias, mask, num_heads,
 
     f.defvjp(f_fwd, f_bwd)
     return f(x, block_params, rel_bias)
+
+
+# ---------------------------------------------------------------------------
+# Paired variant: the depth-2 EncoderLayer stacks are always [no-shift,
+# shift] (reference rstt_layers.py:499-575 alternates shift per depth
+# index); running them as two kernels re-writes and re-reads the full
+# feature map between blocks — at res-128 the stripe DMA is ~2.3 ms of a
+# ~5.6 ms kernel, x6 calls/step.  This kernel computes BOTH blocks per
+# stripe: block-0's result is carried across sequential grid steps in a
+# VMEM scratch (TPU grids execute in order, scratch persists), so block-1's
+# shifted windows — which straddle two adjacent stripes — read the carried
+# previous stripe + the current value.  HBM traffic per stripe drops from
+# 2x(read+write) to read+write.  One extra grid step per image recomputes
+# stripe 0's block-0 for the wrapped last shifted row (1/(R+1) overhead).
+# Numerics: block-0's result is cast to x.dtype in scratch — exactly the
+# value the two-kernel path round-trips through HBM — so the pair is
+# bit-identical to two sequential kernel calls.
+# ---------------------------------------------------------------------------
+
+
+def _pair_kernel(num_heads, head_dim, c_model, T, wh, ww, nw, scale,
+                 sw, out_dtype, rps, chunks=1):
+    N = T * wh * ww
+    W = nw * ww
+    S = rps * wh
+    wblk = rps * nw
+    sh = wh // 2
+    nhs = 2 * rps
+
+    def assemble_row(stripe_row):
+        t = stripe_row.reshape(T, wh, nw, ww, c_model)
+        t = t.transpose(2, 0, 1, 3, 4)
+        return t.reshape(nw * N, c_model)
+
+    def scatter_row(tokens):
+        t = tokens.reshape(nw, T, wh, ww, c_model)
+        t = t.transpose(1, 2, 0, 3, 4)
+        return t.reshape(T, wh, W, c_model)
+
+    def assemble(stripe):
+        if rps == 1:
+            return assemble_row(stripe)
+        rows = [assemble_row(stripe[:, r * wh:(r + 1) * wh])
+                for r in range(rps)]
+        return jnp.concatenate(rows, axis=0)
+
+    def scatter(tokens):
+        if rps == 1:
+            return scatter_row(tokens)
+        rows = [scatter_row(tokens[r * nw * N:(r + 1) * nw * N])
+                for r in range(rps)]
+        return jnp.concatenate(rows, axis=1)
+
+    def run_block(tokens, params, bias_ref, m):
+        """_block_math over the window batch, optionally in `chunks`
+        window-chunks to bound live VMEM (per-window math is independent,
+        so chunking is exact); block-0 + block-1 intermediates coexist in
+        this kernel, ~2x the single-block kernel's footprint."""
+        if chunks == 1:
+            return _block_math(tokens, *params, bias_ref, m,
+                               num_heads=num_heads, head_dim=head_dim,
+                               c_model=c_model, n_tokens=N, wblk=wblk,
+                               scale=scale)
+        step = wblk // chunks
+        outs = []
+        for ci in range(chunks):
+            tok_c = tokens[ci * step * N:(ci + 1) * step * N]
+            m_c = None if m is None else m[ci * step:(ci + 1) * step]
+            outs.append(_block_math(tok_c, *params, bias_ref, m_c,
+                                    num_heads=num_heads, head_dim=head_dim,
+                                    c_model=c_model, n_tokens=N, wblk=step,
+                                    scale=scale))
+        return jnp.concatenate(outs, axis=0)
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        p0 = refs[1:15]
+        p1 = refs[15:29]
+        bias0_ref, bias1_ref, mask_ref = refs[29:32]
+        out_refs = refs[32:32 + nhs]
+        scratch = refs[32 + nhs]
+
+        # carried block-0 rows of the PREVIOUS stripe (read before the
+        # overwrite below); garbage on the first grid step per image —
+        # that step's block-1 output is rewritten by the final step
+        prev_tail = scratch[:, sh:]                   # [T, S-sh, W, C]
+
+        # block 0 (no shift) on this stripe
+        stripe = x_ref[0]                             # [T, S, W, C]
+        cur = scatter(run_block(
+            assemble(stripe).astype(jnp.bfloat16), p0, bias0_ref,
+            None)).astype(out_dtype)
+
+        # block 1 (shifted) over rows [(r-1)S+sh, rS+sh): carried tail +
+        # this stripe's top; columns rolled in-VMEM
+        rows = jnp.concatenate([prev_tail, cur[:, :sh]], axis=1)
+        rolled = jnp.concatenate([rows[:, :, sw:], rows[:, :, :sw]], axis=2)
+        m = mask_ref[:].reshape(wblk, N, N)
+        y = scatter(run_block(
+            assemble(rolled).astype(jnp.bfloat16), p1, bias1_ref,
+            m)).astype(out_dtype)
+        y = jnp.concatenate([y[:, :, W - sw:], y[:, :, :W - sw]], axis=2)
+        for j, oref in enumerate(out_refs):
+            oref[0] = y[:, j * sh:(j + 1) * sh]
+
+        scratch[:] = cur                              # carry to next step
+
+    return kernel
+
+
+def _pick_rps_pair(n_rows, nw, n_tokens, c_model, num_heads, T, W, wh):
+    """Stripe height for the pair kernel: block-0 and block-1 token
+    buffers are live back-to-back and the scratch stripe persists, so the
+    budget per program is roughly half the single-block kernel's."""
+    hd = c_model // num_heads
+    hd_p = 128 if hd == 64 else hd
+    cq = num_heads * hd_p
+    bytes_per_token = 22 * c_model + 8 * cq
+    best = 1
+    for rps in range(1, n_rows + 1):
+        if n_rows % rps:
+            continue
+        tokens = rps * nw * n_tokens
+        scratch = T * rps * wh * W * c_model * 2   # carried bf16 stripe
+        if tokens * bytes_per_token + scratch <= 6 * 1024 * 1024:
+            best = rps
+    return best
+
+
+def _pallas_sw_block_pair_5d(x, p0, p1, bias0, bias1, mask1, num_heads,
+                             window, interpret=False,
+                             rows_per_stripe: Optional[int] = None):
+    """Raw fused [no-shift, shift] block pair.  x [B, T, H, W, C]."""
+    B, T, H, W, C = x.shape
+    wh, ww = window
+    sh, sw = wh // 2, ww // 2
+    nw = W // ww
+    N = T * wh * ww
+    hd = C // num_heads
+    scale = hd ** -0.5
+    n_rows = H // wh
+    rps = rows_per_stripe
+    if rps is None:
+        from pgtformer_tpu import knobs
+        env = knobs.get("SW_RPS")
+        rps = int(env) if env else _pick_rps_pair(n_rows, nw, N, C,
+                                                  num_heads, T, W, wh)
+    assert n_rows % rps == 0, (n_rows, rps)
+    S = rps * wh
+    R = n_rows // rps
+    nhs = 2 * rps
+    n_half = H // sh
+    hd_p = 128 if hd == 64 else hd
+    Cq = num_heads * hd_p
+
+    def prep_params(p):
+        a = p["attn1"]
+        wq, bq = a["q"]["kernel"], a["q"]["bias"]
+        wkv, bkv = a["kv"]["kernel"], a["kv"]["bias"]
+        wp = a["proj"]["kernel"]
+        if hd_p != hd:
+            def pad_cols(w, b):
+                wr = w.reshape(C, num_heads, hd)
+                wr = jnp.pad(wr, ((0, 0), (0, 0), (0, hd_p - hd)))
+                br = jnp.pad(b.reshape(num_heads, hd),
+                             ((0, 0), (0, hd_p - hd)))
+                return wr.reshape(C, num_heads * hd_p), br.reshape(-1)
+            wq, bq = pad_cols(wq, bq)
+            wk_p, bk_p = pad_cols(wkv[:, :C], bkv[:C])
+            wv_p, bv_p = pad_cols(wkv[:, C:], bkv[C:])
+            wkv = jnp.concatenate([wk_p, wv_p], axis=1)
+            bkv = jnp.concatenate([bk_p, bv_p])
+            wp = jnp.pad(wp.reshape(num_heads, hd, C),
+                         ((0, 0), (0, hd_p - hd), (0, 0)))
+            wp = wp.reshape(num_heads * hd_p, C)
+        return [
+            p["norm1"]["scale"].astype(jnp.float32),
+            p["norm1"]["bias"].astype(jnp.float32),
+            wq.astype(jnp.bfloat16), bq.astype(jnp.float32),
+            wkv.astype(jnp.bfloat16), bkv.astype(jnp.float32),
+            wp.astype(jnp.bfloat16), a["proj"]["bias"].astype(jnp.float32),
+            p["norm2"]["scale"].astype(jnp.float32),
+            p["norm2"]["bias"].astype(jnp.float32),
+            p["mlp"]["fc1"]["kernel"].astype(jnp.bfloat16),
+            p["mlp"]["fc1"]["bias"].astype(jnp.float32),
+            p["mlp"]["fc2"]["kernel"].astype(jnp.bfloat16),
+            p["mlp"]["fc2"]["bias"].astype(jnp.float32),
+        ]
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda b, r: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    param_specs = [
+        rep((C,)), rep((C,)),
+        rep((C, Cq)), rep((Cq,)),
+        rep((C, 2 * Cq)), rep((2 * Cq,)),
+        rep((Cq, C)), rep((C,)),
+        rep((C,)), rep((C,)),
+        rep((C, C)), rep((C,)),
+        rep((C, C)), rep((C,)),
+    ]
+
+    stripe_spec = pl.BlockSpec(
+        (1, T, S, W, C), lambda b, r: (b, 0, r % R, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    def half_spec(j):
+        return pl.BlockSpec(
+            (1, T, sh, W, C),
+            lambda b, r, j=j: (b, 0, (nhs * (r - 1) + 1 + j) % n_half, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    out_specs = tuple(half_spec(j) for j in range(nhs))
+    out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),) * nhs
+
+    m = jnp.asarray(mask1, jnp.float32).reshape(n_rows, nw, N, N)
+    args = ([x.astype(jnp.bfloat16)] + prep_params(p0) + prep_params(p1)
+            + [bias0.astype(jnp.float32), bias1.astype(jnp.float32), m])
+    in_specs = ([stripe_spec] + param_specs + param_specs
+                + [rep((num_heads, N, N)), rep((num_heads, N, N)),
+                   pl.BlockSpec((rps, nw, N, N),
+                                lambda b, r: ((r - 1) % R, 0, 0, 0),
+                                memory_space=pltpu.VMEM)])
+
+    # chunk the per-block window batch so block-0 + block-1 intermediates
+    # fit scoped VMEM (~16 MB): smallest divisor of wblk whose per-chunk
+    # token footprint stays under ~5.5 MB
+    wblk = rps * nw
+    bytes_per_token = 22 * C + 8 * Cq
+    chunks = 1
+    for c in range(1, wblk + 1):
+        if wblk % c:
+            continue
+        if (wblk // c) * N * bytes_per_token <= int(5.5 * 1024 * 1024):
+            chunks = c
+            break
+
+    kernel = _pair_kernel(num_heads, hd_p, C, T, wh, ww, nw, scale, sw,
+                          x.dtype, rps, chunks=chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, R + 1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((T, S, W, C), x.dtype)],
+        interpret=interpret,
+    )(*args)
+    outs = [oj.reshape(B, T, n_half // nhs, nhs, sh, W, C) for oj in out]
+    merged = jnp.stack([outs[(i - 1) % nhs][:, :, :, i]
+                        for i in range(nhs)], axis=3)
+    return merged.reshape(B, T, H, W, C)
+
+
+def fused_sw_block_pair_5d(x, p0, p1, bias0, bias1, mask1, num_heads,
+                           window, interpret=False):
+    """Differentiable fused [no-shift, shift] pair (VJP through the
+    two-block XLA path)."""
+    half = tuple(w // 2 for w in window)
+
+    def xla_pair(x, p0, p1, b0, b1):
+        h = sw_block_5d_xla(x, p0, b0, None, num_heads, window, (0, 0))
+        return sw_block_5d_xla(h, p1, b1, mask1, num_heads, window, half)
+
+    def fwd_impl(x, p0, p1, b0, b1):
+        return _pallas_sw_block_pair_5d(x, p0, p1, b0, b1, mask1,
+                                        num_heads, window, interpret)
+
+    @jax.custom_vjp
+    def f(x, p0, p1, b0, b1):
+        return fwd_impl(x, p0, p1, b0, b1)
+
+    def f_fwd(x, p0, p1, b0, b1):
+        return fwd_impl(x, p0, p1, b0, b1), (x, p0, p1, b0, b1)
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(xla_pair, *res)
+        return vjp(g.astype(res[0].dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, p0, p1, bias0, bias1)

@@ -363,15 +363,26 @@ class VideoRestorer:
         def submit(dev_out, n_valid):
             return rb_pool.submit(fetch, dev_out), n_valid
 
+        def put_to_writer(item):
+            # bounded put that re-checks writer health every second: a
+            # writer death *after* a one-shot health check would otherwise
+            # deadlock this thread on the full 4-slot queue
+            while True:
+                if werr:
+                    raise werr[0]
+                try:
+                    wq.put(item, timeout=1.0)
+                    return
+                except queue.Full:
+                    continue
+
         def drain(entry):
             nonlocal n_frames
             fut, n_valid = entry
             with timer.stage("readback"):    # wait for device->host fetch
                 frames, _ = fut.result()
             valid = jax.tree.map(lambda a: a[:n_valid], frames)
-            if werr:  # writer thread died: surface its error instead of
-                raise werr[0]  # blocking forever on a full queue
-            wq.put(valid)
+            put_to_writer(valid)
             if frame_callback is not None:
                 for f in valid:
                     frame_callback(n_frames, f)
@@ -398,44 +409,62 @@ class VideoRestorer:
             if len(pending) > self.inflight:
                 drain(pending.pop(0))
 
-        reader_it = iter(reader)
-        while True:
-            with timer.stage("decode"):
-                frame = next(reader_it, None)
-            if frame is None:
-                break
-            if last_frame is None:
-                self.prime(frame)
+        def signal_writer_stop():
+            # bounded: if the writer is alive it will free a slot; if it
+            # died there is nobody left to signal
+            while wthread.is_alive():
+                try:
+                    wq.put(None, timeout=1.0)
+                    return
+                except queue.Full:
+                    if werr:
+                        return
+
+        finished = False
+        try:
+            reader_it = iter(reader)
+            while True:
+                with timer.stage("decode"):
+                    frame = next(reader_it, None)
+                if frame is None:
+                    break
+                if last_frame is None:
+                    self.prime(frame)
+                    last_frame = frame
+                    continue
                 last_frame = frame
-                continue
-            last_frame = frame
-            chunk.append(frame)
-            if len(chunk) == B:
-                flush(B)
+                chunk.append(frame)
+                if len(chunk) == B:
+                    flush(B)
+                    chunk = []
+                if progress and n_frames and len(chunk) == 1 and \
+                        n_frames % 64 < B:
+                    print(f"  {n_frames} frames...", flush=True)
+
+            if last_frame is None:
+                finished = True
+                return {"frames": 0, "seconds": 0.0, "fps": 0.0}
+
+            needed = len(chunk) + r
+            while needed > 0:
+                chunk.extend([last_frame] * (B - len(chunk)))
+                n_valid = min(B, needed)
+                flush(n_valid)
+                needed -= n_valid
                 chunk = []
-            if progress and n_frames and len(chunk) == 1 and \
-                    n_frames % 64 < B:
-                print(f"  {n_frames} frames...", flush=True)
-
-        if last_frame is None:
+            for entry in pending:
+                drain(entry)
+            finished = True
+        finally:
+            # every exit (including writer/encoder-error raises) releases
+            # the decoder handle, the readback pool and the writer thread —
+            # long-lived callers must not leak them
+            rb_pool.shutdown(wait=finished, cancel_futures=not finished)
             reader.close()
-            wq.put(None)
-            wthread.join()
-            return {"frames": 0, "seconds": 0.0, "fps": 0.0}
-
-        needed = len(chunk) + r
-        while needed > 0:
-            chunk.extend([last_frame] * (B - len(chunk)))
-            n_valid = min(B, needed)
-            flush(n_valid)
-            needed -= n_valid
-            chunk = []
-        for entry in pending:
-            drain(entry)
-        rb_pool.shutdown(wait=True)
-        reader.close()
-        wq.put(None)
-        wthread.join()
+            signal_writer_stop()
+            # success path must wait for the encoder to finalize the file;
+            # error paths get a bounded join (the writer is a daemon)
+            wthread.join(timeout=None if finished else 60.0)
         if werr:
             raise werr[0]
         timer.totals["encode(threaded)"] = encode_s[0]

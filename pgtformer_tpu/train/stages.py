@@ -108,6 +108,18 @@ def _flat_frames(x):
     return x.reshape(B * T, *x.shape[2:])
 
 
+def _dequantize(batch):
+    """uint8 [0,255] -> float32 [0,1] *on device*, inside the jitted step.
+
+    Lets the loader ship 4x-smaller uint8 batches over the host->device
+    link (the serving path's unique-frame uint8 upload, pipeline.py);
+    the cast fuses into the first consumer op.  Float inputs pass
+    through untouched, so float-batch callers are unaffected."""
+    return jax.tree.map(
+        lambda a: (a.astype(jnp.float32) / 255.0
+                   if a.dtype == jnp.uint8 else a), batch)
+
+
 def trainable_mask(params, frozen_top_level: Sequence[str]):
     """optax mask: True (trainable) for every leaf not under a frozen
     top-level module (the reference's `fix_modules` freeze —
@@ -183,6 +195,7 @@ class Stage1Trainer:
         self._step_fn = None
 
     def init_state(self, rng: jax.Array, sample_gt: jnp.ndarray) -> TrainState:
+        sample_gt = _dequantize(sample_gt)
         rng, r1, r2, r3 = jax.random.split(rng, 4)
         # jitted init: eager init of the full 512px model over the axon TPU
         # tunnel pays ~1ms RPC per op (many minutes); jit makes it one call
@@ -205,6 +218,7 @@ class Stage1Trainer:
         hp = self.hp
         axis = self.axis
         state, rng = state.next_rng()
+        gt = _dequantize(gt)
         gt_flat = _flat_frames(gt)
 
         def g_loss_fn(g_params):
@@ -219,10 +233,22 @@ class Stage1Trainer:
 
             gan_on = jnp.asarray(state.step >= hp.gan_start_iter, jnp.float32)
             d_vars = {"params": state.d.params}
+            mut_d = []
             if state.d.batch_stats is not None:
                 d_vars["batch_stats"] = state.d.batch_stats
-            fake_logits = self.disc.apply(d_vars, out, train=False)
+                mut_d = ["batch_stats"]
+            # train=True: the reference keeps net_d in train mode for the
+            # generator's adversarial pass too (BasicSR never .eval()s it),
+            # so G's logits use BATCH statistics.  Running-average logits
+            # diverge wildly from train-mode logits early on (momentum-0.9
+            # stats lag) and feed G a signal D never actually produces —
+            # measured: l_d -> 0 while l_g_gan -> -3 and val-PSNR stalls.
+            # The torch side effect (the G fake pass advances running
+            # stats) is reproduced by threading d_upd into the D step.
+            fake_logits, d_upd = self.disc.apply(d_vars, out, train=True,
+                                                 mutable=mut_d)
             l_gan = self.hinge.g_loss(fake_logits)
+            g_bs = d_upd.get("batch_stats", state.d.batch_stats)
 
             d_weight = 1.0
             if hp.gan_weight_mode == "adaptive":
@@ -244,8 +270,9 @@ class Stage1Trainer:
                     return r
 
                 def gan_of_k(k):
-                    return self.hinge.g_loss(
-                        self.disc.apply(d_vars, out_of_k(k), train=False))
+                    lg, _ = self.disc.apply(d_vars, out_of_k(k), train=True,
+                                            mutable=mut_d)
+                    return self.hinge.g_loss(lg)
 
                 d_weight = _adaptive_gan_weight(
                     nll_of_k, gan_of_k, _get_leaf(g_params, path))
@@ -255,10 +282,10 @@ class Stage1Trainer:
                        "l_quant": quant_loss, "l_g_gan": l_gan}
             if hp.gan_weight_mode == "adaptive":
                 metrics["d_weight"] = d_weight
-            return total, (upd["codebook"], metrics, out)
+            return total, (upd["codebook"], metrics, out, g_bs)
 
-        (g_total, (new_codebook, metrics, out)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g.params)
+        (g_total, (new_codebook, metrics, out, g_bs)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g.params)
         g_grads = _pmean_if(g_grads, axis)
         updates, new_g_opt = self.opt_g.update(g_grads, state.g.opt_state,
                                                state.g.params)
@@ -269,20 +296,21 @@ class Stage1Trainer:
         fake = jax.lax.stop_gradient(out)
 
         def d_loss_fn(d_params):
+            # stats start from g_bs: the G pass already advanced the
+            # running averages (torch train-mode side effect)
             d_vars = {"params": d_params}
             mutable = []
-            if state.d.batch_stats is not None:
-                d_vars["batch_stats"] = state.d.batch_stats
+            if g_bs is not None:
+                d_vars["batch_stats"] = g_bs
                 mutable = ["batch_stats"]
             real_logits, bs1 = self.disc.apply(d_vars, gt_flat, train=True,
                                                mutable=mutable)
             d_vars2 = {"params": d_params,
-                       "batch_stats": bs1.get("batch_stats",
-                                              state.d.batch_stats)}
+                       "batch_stats": bs1.get("batch_stats", g_bs)}
             fake_logits, bs2 = self.disc.apply(d_vars2, fake, train=True,
                                                mutable=mutable)
             loss = self.hinge.d_loss(real_logits, fake_logits)
-            return loss, bs2.get("batch_stats", state.d.batch_stats)
+            return loss, bs2.get("batch_stats", g_bs)
 
         (d_total, new_bs), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d.params)
@@ -373,6 +401,7 @@ class PGTFormerTrainer:
 
     def init_state(self, rng: jax.Array, sample_lq: jnp.ndarray,
                    teacher_variables, student_variables=None) -> TrainState:
+        sample_lq = _dequantize(sample_lq)
         rng, r1, r2 = jax.random.split(rng, 3)
         if student_variables is None:
             # always init the FULL structure (w>0, not code_only) so stage-II
@@ -413,6 +442,7 @@ class PGTFormerTrainer:
     def _per_device_step(self, state: TrainState, batch):
         hp = self.hp
         axis = self.axis
+        batch = _dequantize(batch)
         lq, gt = batch["lq"], batch["gt"]
         gt_flat = _flat_frames(gt)
         B, T = gt.shape[:2]
@@ -427,6 +457,7 @@ class PGTFormerTrainer:
             t_zq if hp.feat_target == "zq" else t_z)
 
         def g_loss_fn(g_params):
+            g_bs = state.d.batch_stats if state.d is not None else None
             variables = self._student_vars(g_params, state)
             if self.code_only:
                 logits, lq_feat = self.model.apply(
@@ -473,10 +504,16 @@ class PGTFormerTrainer:
 
                 if hp.use_gan and state.d is not None:
                     d_vars = {"params": state.d.params}
+                    mut_d = []
                     if state.d.batch_stats is not None:
                         d_vars["batch_stats"] = state.d.batch_stats
-                    fake_logits = self.disc.apply(d_vars, out, train=False)
+                        mut_d = ["batch_stats"]
+                    # train=True + stat threading: see Stage1Trainer — the
+                    # reference's net_d stays in train mode for the G pass
+                    fake_logits, d_upd = self.disc.apply(
+                        d_vars, out, train=True, mutable=mut_d)
                     l_gan = self.hinge.g_loss(fake_logits)
+                    g_bs = d_upd.get("batch_stats", state.d.batch_stats)
                     gan_on = jnp.asarray(state.step >= hp.gan_start_iter,
                                          jnp.float32)
                     d_weight = 1.0
@@ -503,18 +540,19 @@ class PGTFormerTrainer:
                             return r
 
                         def gan_of_k(k):
-                            return self.hinge.g_loss(self.disc.apply(
-                                d_vars, out_of_k(k), train=False))
+                            lg, _ = self.disc.apply(d_vars, out_of_k(k),
+                                                    train=True, mutable=mut_d)
+                            return self.hinge.g_loss(lg)
 
                         d_weight = _adaptive_gan_weight(
                             nll_of_k, gan_of_k, _get_leaf(g_params, path))
                         metrics["d_weight"] = d_weight
                     total = total + gan_on * d_weight * l_gan
                     metrics["l_g_gan"] = l_gan
-            return total, (metrics, out)
+            return total, (metrics, out, g_bs)
 
         state, rng = state.next_rng()
-        (g_total, (metrics, out)), g_grads = jax.value_and_grad(
+        (g_total, (metrics, out, g_bs)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g.params)
         g_grads = _pmean_if(g_grads, axis)
         opt_g, opt_d = self._opts
@@ -531,21 +569,21 @@ class PGTFormerTrainer:
             fake = jax.lax.stop_gradient(out)
 
             def d_loss_fn(d_params):
+                # stats start from g_bs (the G pass already advanced them)
                 d_vars = {"params": d_params}
                 mutable = []
-                if state.d.batch_stats is not None:
-                    d_vars["batch_stats"] = state.d.batch_stats
+                if g_bs is not None:
+                    d_vars["batch_stats"] = g_bs
                     mutable = ["batch_stats"]
                 real_logits, bs1 = self.disc.apply(d_vars, gt_flat,
                                                    train=True,
                                                    mutable=mutable)
                 d_vars2 = {"params": d_params,
-                           "batch_stats": bs1.get("batch_stats",
-                                                  state.d.batch_stats)}
+                           "batch_stats": bs1.get("batch_stats", g_bs)}
                 fake_logits, bs2 = self.disc.apply(d_vars2, fake, train=True,
                                                    mutable=mutable)
                 return (self.hinge.d_loss(real_logits, fake_logits),
-                        bs2.get("batch_stats", state.d.batch_stats))
+                        bs2.get("batch_stats", g_bs))
 
             (d_total, new_bs), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.d.params)

@@ -53,13 +53,16 @@ class Trainer:
         step_fn = self.stage.make_step()
         t0 = time.time()
         window_steps = 0
+        # host-side step counter: `int(state.step)` would BLOCK on the
+        # device every iteration, serializing upload/compute (state.step
+        # is a device scalar); sync once here, count on host after
+        step = int(state.step)
         for batch in batches:
-            step = int(state.step)
             if step >= total:
                 break
             state, metrics = step_fn(state, batch)
             window_steps += 1
-            step = int(state.step)
+            step += 1
 
             if step % self.print_freq == 0:
                 dt = time.time() - t0

@@ -71,7 +71,15 @@ def main(argv=None):
                         help="override stage detection from the YAML name")
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--teacher-ckpt", default=None,
-                        help="stage II+: torch/orbax stage-I checkpoint")
+                        help="stage II+: frozen teacher (`network_gt`) — a "
+                             "reference-format .pth or an orbax net_g_* "
+                             "export dir from a stage-I run")
+    parser.add_argument("--student-ckpt", default=None,
+                        help="stage II+: initialize the student from a "
+                             "previous stage's net_g_* export "
+                             "(non-strict subtree merge — the reference's "
+                             "`pretrain_network_g` + `strict_load_g: "
+                             "false` chain: I->II->III->IV)")
     parser.add_argument("--no-lpips", action="store_true")
     parser.add_argument("--lpips-weights", default=None,
                         help="lpips.LPIPS(net='vgg') state_dict (.pth) for "
@@ -100,7 +108,20 @@ def main(argv=None):
     parser.add_argument("--prefetch", type=int, default=2,
                         help="batches kept in flight ahead of the consumer "
                              "(reference prefetch_mode analog)")
+    parser.add_argument("--batch-dtype", default="uint8",
+                        choices=["uint8", "float32"],
+                        help="host->device batch transfer dtype: uint8 "
+                             "ships 4x fewer bytes and dequantizes inside "
+                             "the jitted step (default; gt is exact, lq "
+                             "picks up <=0.5/255 quantization)")
+    parser.add_argument("--upload-prefetch", type=int, default=2,
+                        help="device-resident batches uploaded ahead of "
+                             "the train step on a transfer thread "
+                             "(0 = synchronous upload)")
+    from pgtformer_tpu import knobs
+    knobs.add_cli_flags(parser)
     args = parser.parse_args(argv)
+    knobs.apply_cli_args(args)
 
     import jax
     import jax.numpy as jnp
@@ -139,7 +160,8 @@ def main(argv=None):
         args.data_root, r=int(ds_opt.get("r", 1)),
         is_aligned=bool(ds_opt.get("is_aligned", False)),
         degradation=str(ds_opt.get("degradation", "blr")),
-        use_hflip=bool(ds_opt.get("use_hflip", True)))
+        use_hflip=bool(ds_opt.get("use_hflip", True)),
+        output_dtype=args.batch_dtype)
 
     rng = jax.random.PRNGKey(int(opt.get("manual_seed", 0)))
     sample = dataset[0]
@@ -154,13 +176,30 @@ def main(argv=None):
         backend="sync" if num_workers == 0 else "thread",
         keys=("gt",) if stage == "I" else ("gt", "lq"))
 
-    def iter_batches():
+    def host_batches():
         for b in loader:
             if stage == "I":
-                out = b["gt"]
+                yield b["gt"]
             else:
-                out = {"lq": b["lq"], "gt": b["gt"]}
-            yield shard_batch(out, mesh) if mesh else out
+                yield {"lq": b["lq"], "gt": b["gt"]}
+
+    if mesh is not None:
+        put = lambda b: shard_batch(b, mesh)
+    else:
+        put = lambda b: jax.tree.map(jax.device_put, b)
+
+    if args.upload_prefetch > 0:
+        from pgtformer_tpu.data.loader import device_prefetch
+
+        def iter_batches():
+            # uploads run `upload_prefetch` batches ahead on a transfer
+            # thread, overlapping host->device bytes with device compute
+            yield from device_prefetch(host_batches(), put,
+                                       depth=args.upload_prefetch)
+    else:
+        def iter_batches():
+            for b in host_batches():
+                yield put(b)
 
     # when a checkpoint will be auto-resumed, build only the ABSTRACT state
     # (jax.eval_shape): materializing the full init state on device and
@@ -175,14 +214,31 @@ def main(argv=None):
                 rng, jnp.asarray(sample["gt"][None][:1].repeat(batch,
                                                                axis=0)))
     else:
+        import os as _os
+        from pgtformer_tpu.utils.checkpoint import (
+            restore_export_host, merge_pretrained)
         teacher = TDCRQVAE3(trainer.cfg.vqvae)
-        if args.teacher_ckpt:
+
+        def as_float(a):   # samples may be uint8 (--batch-dtype)
+            a = np.asarray(a)
+            return (a.astype(np.float32) / 255.0
+                    if a.dtype == np.uint8 else a)
+
+        sample_gt1 = jnp.asarray(as_float(sample["gt"][None]))
+        if args.teacher_ckpt and _os.path.isdir(args.teacher_ckpt):
+            # orbax net_g export from a stage-I run (export payload:
+            # params_ema + frozen collections)
+            pre = restore_export_host(args.teacher_ckpt)
+            t_vars = {"params": pre["params_ema"]}
+            for col in ("codebook", "batch_stats"):
+                if pre.get(col) is not None:
+                    t_vars[col] = pre[col]
+        elif args.teacher_ckpt:
             from pgtformer_tpu.convert.torch_port import (
                 load_torch_checkpoint, port_torch_state_dict)
-            sample_x = jnp.asarray(sample["gt"][None])
             shapes = jax.eval_shape(
                 lambda: teacher.init({"params": jax.random.PRNGKey(0)},
-                                     sample_x))
+                                     sample_gt1))
             zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
             t_vars = port_torch_state_dict(
                 zeros, load_torch_checkpoint(args.teacher_ckpt))
@@ -190,17 +246,32 @@ def main(argv=None):
             print("WARNING: stage %s without --teacher-ckpt: random teacher"
                   % stage, file=sys.stderr)
             t_vars = teacher.init({"params": jax.random.PRNGKey(7)},
-                                  jnp.asarray(sample["gt"][None]))
+                                  sample_gt1)
         else:
             t_vars = jax.eval_shape(
                 lambda: teacher.init({"params": jax.random.PRNGKey(7)},
-                                     jnp.asarray(sample["gt"][None])))
+                                     sample_gt1))
 
         def build_state():
-            return trainer.init_state(
-                rng,
-                jnp.asarray(np.repeat(sample["lq"][None], batch, axis=0)),
-                t_vars)
+            sample_batch = jnp.asarray(
+                np.repeat(as_float(sample["lq"][None]), batch, axis=0))
+            sv = None
+            if args.student_ckpt:
+                # reference `pretrain_network_g` + `strict_load_g: false`:
+                # init the full student, then overlay every pretrained
+                # tensor whose path+shape matches (stage I's TDCRQVAE3
+                # covers encoder/decoder/quant_conv/codebook; stage II/III
+                # exports cover everything)
+                sv = jax.jit(lambda k: trainer.model.init(
+                    {"params": k}, sample_batch[:1], w=1.0,
+                    code_only=False))(jax.random.PRNGKey(11))
+                pre = restore_export_host(args.student_ckpt)
+                sv, n_loaded, skipped = merge_pretrained(sv, pre)
+                print(f"student init: {n_loaded} tensors loaded from "
+                      f"{args.student_ckpt}, {len(skipped)} pretrained "
+                      "leaves without a destination (strict_load_g: false)")
+            return trainer.init_state(rng, sample_batch, t_vars,
+                                      student_variables=sv)
 
     state = jax.eval_shape(build_state) if resuming else build_state()
 

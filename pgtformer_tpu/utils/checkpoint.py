@@ -78,3 +78,56 @@ class CheckpointManager:
         self._ckpt.save(path, payload)
         self._ckpt.wait_until_finished()
         return path
+
+
+def restore_export_host(path: str):
+    """Restore a `net_g_<step>` export (or any orbax PyTree checkpoint) to
+    host numpy, deriving the abstract tree from the checkpoint's own
+    metadata — works regardless of the devices it was written from."""
+    import jax
+    from jax.sharding import SingleDeviceSharding
+
+    ckptr = ocp.StandardCheckpointer()
+    meta = ckptr.metadata(os.path.abspath(path))
+    tree = getattr(meta, "item_metadata", meta)
+    host = SingleDeviceSharding(jax.devices("cpu")[0])
+    abstract = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=host)
+        if hasattr(m, "shape") else m, tree,
+        is_leaf=lambda m: hasattr(m, "shape"))
+    return ckptr.restore(os.path.abspath(path), abstract)
+
+
+def merge_pretrained(variables, pretrained):
+    """Non-strict pretrained load — the BasicSR `strict_load_g: false`
+    analog every stage-chain YAML relies on (reference
+    options/release_train_stage_II_need_align_version.yml:133-138: stage
+    II's PGTFormer partially initializes from the stage-I TDCRQVAE3
+    net_g; III from II; IV from III).
+
+    `variables`: freshly initialized model collections ({params, ...}).
+    `pretrained`: an export payload ({params_ema, codebook?, ...}).
+    Copies every leaf whose flattened path exists in both with matching
+    shape; returns (merged, n_loaded, skipped_paths) where skipped_paths
+    are pretrained leaves that had no matching destination."""
+    from flax import traverse_util
+
+    col_map = {"params_ema": "params", "params": "params"}
+    merged = dict(variables)
+    n_loaded = 0
+    skipped = []
+    for src_col, payload in pretrained.items():
+        dst_col = col_map.get(src_col, src_col)
+        if dst_col not in merged or payload is None:
+            skipped.append((src_col,))
+            continue
+        dst = traverse_util.flatten_dict(dict(merged[dst_col]))
+        src = traverse_util.flatten_dict(dict(payload))
+        for k, v in src.items():
+            if k in dst and tuple(dst[k].shape) == tuple(v.shape):
+                dst[k] = v.astype(dst[k].dtype) if hasattr(v, "astype") else v
+                n_loaded += 1
+            else:
+                skipped.append((dst_col,) + k)
+        merged[dst_col] = traverse_util.unflatten_dict(dst)
+    return merged, n_loaded, skipped

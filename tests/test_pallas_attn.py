@@ -319,3 +319,99 @@ def test_fused_block_5d_grad_matches_xla():
         # rematerialization so cotangents match closely
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-1, rtol=2e-2)
+
+
+@pytest.mark.parametrize("C,heads", [
+    (256, 8),           # hd=32
+    (512, 8),           # hd=64 -> lane-padded path
+])
+def test_fused_block_pair_matches_two_kernels(C, heads):
+    """The [no-shift, shift] pair kernel must be BIT-identical to two
+    sequential 5D kernels (block-0's carried-scratch value is the same
+    bf16 the two-kernel path round-trips through HBM)."""
+    from pgtformer_tpu.ops.pallas_attn import (_pallas_sw_block_5d,
+                                               _pallas_sw_block_pair_5d)
+    B, T, H, W = 2, 3, 16, 16
+    win = (4, 4)
+    half = (2, 2)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, T, H, W, C))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+
+    vs, biases = [], []
+    for seed in (0, 1):
+        blk = SWTransformerBlock(dim=C, num_heads=heads, num_frames=T,
+                                 window_size=win,
+                                 shift_size=(0, 0) if seed == 0 else half,
+                                 mlp_ratio=1.0)
+        v = blk.init(jax.random.PRNGKey(seed), x.astype(jnp.float32))
+        N = T * win[0] * win[1]
+        idx = relative_position_index(T, T, win)
+        table = np.asarray(
+            v["params"]["attn1"]["relative_position_bias_table"])
+        biases.append(jnp.asarray(
+            table[idx.reshape(-1)].reshape(N, N, heads).transpose(2, 0, 1)))
+        vs.append(v["params"])
+    mask1 = shifted_window_mask(T, H, W, win, half)
+
+    y0 = _pallas_sw_block_5d(x, vs[0], biases[0], None, heads, win, (0, 0),
+                             interpret=True)
+    y_ref = _pallas_sw_block_5d(y0, vs[1], biases[1], mask1, heads, win,
+                                half, interpret=True)
+
+    for rps in (1, 2, 4):
+        y_pair = _pallas_sw_block_pair_5d(x, vs[0], vs[1], biases[0],
+                                          biases[1], mask1, heads, win,
+                                          interpret=True,
+                                          rows_per_stripe=rps)
+        np.testing.assert_array_equal(np.asarray(y_pair, np.float32),
+                                      np.asarray(y_ref, np.float32))
+
+
+def test_fused_block_pair_grad_matches_xla():
+    """Pair-kernel custom VJP == sequential XLA two-block grads."""
+    import pgtformer_tpu.ops.pallas_attn as pa
+    C, heads, T, win = 64, 4, 3, (4, 4)
+    B, H, W = 1, 8, 8
+    half = (2, 2)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(B, T, H, W, C)).astype(np.float32))
+    vs, biases = [], []
+    for seed in (0, 1):
+        blk = SWTransformerBlock(dim=C, num_heads=heads, num_frames=T,
+                                 window_size=win,
+                                 shift_size=(0, 0) if seed == 0 else half,
+                                 mlp_ratio=1.0)
+        v = blk.init(jax.random.PRNGKey(seed), x)
+        N = T * win[0] * win[1]
+        idx = relative_position_index(T, T, win)
+        table = np.asarray(
+            v["params"]["attn1"]["relative_position_bias_table"])
+        biases.append(jnp.asarray(
+            table[idx.reshape(-1)].reshape(N, N, heads).transpose(2, 0, 1)))
+        vs.append(v["params"])
+    mask1 = shifted_window_mask(T, H, W, win, half)
+
+    # the pair's custom VJP rematerializes through the two-block XLA chain;
+    # feed the SAME cotangent into (a) the pair function's vjp and (b) a
+    # hand-built vjp of that exact XLA chain — identical jaxprs, so the
+    # wiring (mask, shift, param routing) must match to float tolerance
+    xb = x.astype(jnp.bfloat16)
+
+    def pair_fn(x, p0, p1):
+        return pa.fused_sw_block_pair_5d(x, p0, p1, biases[0], biases[1],
+                                         mask1, heads, win, interpret=True)
+
+    def xla_chain(x, p0, p1):
+        h = pa.sw_block_5d_xla(x, p0, biases[0], None, heads, win, (0, 0))
+        return pa.sw_block_5d_xla(h, p1, biases[1], mask1, heads, win, half)
+
+    y, vjp_pair = jax.vjp(pair_fn, xb, vs[0], vs[1])
+    g = (2.0 * y.astype(jnp.float32)).astype(y.dtype)
+    gp = vjp_pair(g)
+    _, vjp_ref = jax.vjp(xla_chain, xb, vs[0], vs[1])
+    gr = vjp_ref(g)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-4, rtol=1e-4)

@@ -81,12 +81,13 @@ def test_video_restorer_multichip_matches_single(small_video, tmp_path):
     assert np.mean(np.abs(fa.astype(int) - fb.astype(int))) < 2.0
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
 def test_sharded_step_halo_exchange_exact(n_dev):
     """The shard_map halo-exchange serving step is bit-identical to the
-    unsharded step across chunk boundaries, for local batch >= halo
-    (n_dev=2/4 -> Bl=4/2; the Bl<2r deep-halo case is covered by the
-    8-device end-to-end test above)."""
+    unsharded step across chunk boundaries — including the deep-halo
+    case n_dev=8 (local batch Bl=1 < 2r=2: the halo spans TWO ring-left
+    neighbors, D=2 ppermute hops), compared pre-encode with no codec in
+    the loop."""
     from pgtformer_tpu.pipeline import VideoRestorer
     from pgtformer_tpu.models.pgtformer import PGTFormer
     from pgtformer_tpu.parallel.mesh import make_mesh
