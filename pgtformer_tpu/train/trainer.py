@@ -32,6 +32,18 @@ class Trainer:
         self.ckpt = CheckpointManager(exp_dir)
         self.auto_resume = auto_resume
 
+    def _export(self, step, state):
+        """net_g export = EMA params + the frozen collections a consumer
+        needs to run the model (codebook for VQ, batch_stats for BN) —
+        the BasicSR net_g_<iter>.pth analog that stage chaining and the
+        orbax-dir --teacher-ckpt path load."""
+        extra = {}
+        for col in ("codebook", "batch_stats"):
+            v = getattr(state.g, col, None)
+            if v is not None:
+                extra[col] = v
+        self.ckpt.export_params_ema(step, state.g.ema_params, extra=extra)
+
     def _append_jsonl(self, rec: dict):
         """Machine-readable training curve (exp_dir/metrics.jsonl)."""
         import json
@@ -79,7 +91,7 @@ class Trainer:
 
             if step % self.save_freq == 0:
                 self.ckpt.save(step, state)
-                self.ckpt.export_params_ema(step, state.g.ema_params)
+                self._export(step, state)
                 self.logger.info(f"checkpoint saved at iter {step}")
 
             if val_fn is not None and step % self.val_freq == 0:
@@ -95,7 +107,7 @@ class Trainer:
         final = int(state.step)
         if final % self.save_freq != 0:   # else the loop already saved it
             self.ckpt.save(final, state)
-            self.ckpt.export_params_ema(final, state.g.ema_params)
+            self._export(final, state)
         self.tb.flush()
         return state
 

@@ -289,7 +289,12 @@ def main(argv=None):
             inter_space=int(val_opt.get("inter_space", 1)))
         val_fn = make_val_fn(trainer, val_ds, stage,
                              max_samples=args.val_samples,
-                             save_dir=f"{exp_dir}/visualization")
+                             save_dir=f"{exp_dir}/visualization",
+                             # stage II's config leaves w at the arch
+                             # default 0 (reference stage-II yml has no
+                             # `w:`): validating through w>0 would inject
+                             # the UNTRAINED fuse blocks
+                             w=float(getattr(trainer.cfg, "w", 1.0)))
 
     loop = Trainer(trainer, exp_dir,
                    print_freq=int(opt.get("logger", {}).get("print_freq", 100)),

@@ -87,6 +87,8 @@ def restore_export_host(path: str):
     import jax
     from jax.sharding import SingleDeviceSharding
 
+    import numpy as np
+
     ckptr = ocp.StandardCheckpointer()
     meta = ckptr.metadata(os.path.abspath(path))
     tree = getattr(meta, "item_metadata", meta)
@@ -95,7 +97,12 @@ def restore_export_host(path: str):
         lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=host)
         if hasattr(m, "shape") else m, tree,
         is_leaf=lambda m: hasattr(m, "shape"))
-    return ckptr.restore(os.path.abspath(path), abstract)
+    restored = ckptr.restore(os.path.abspath(path), abstract)
+    # plain numpy, NOT device-committed jax arrays: a CPU-committed leaf
+    # fed into a jitted step would pin the WHOLE compilation to the CPU
+    # backend (and Pallas kernels then refuse to lower)
+    return jax.tree.map(
+        lambda a: np.asarray(a) if hasattr(a, "shape") else a, restored)
 
 
 def merge_pretrained(variables, pretrained):
