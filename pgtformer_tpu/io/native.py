@@ -106,7 +106,9 @@ class NativeVideoWriter:
     """codec: 'auto' (libx265 -> libx264 -> mpeg4), 'libx265' (reference
     output parity: CRF 18, hvc1 tag — reference inference.py:30-35),
     'libx264', or 'mpeg4'; an optional ':preset=<name>' suffix (e.g.
-    'libx265:preset=superfast') overrides the encoder speed preset.
+    'libx265:preset=superfast') overrides the encoder speed preset, and
+    an optional trailing ':params=k=v,k=v' passes extra encoder private
+    options (appended to x265-params for libx265, commas become ':').
     An explicitly requested codec that the libav build lacks raises
     (no silent substitution)."""
 

@@ -195,6 +195,11 @@ void* vw_open(const char* path, int w, int h, double fps) {
 // inference.py:30-35), "libx264", "mpeg4", or "auto" (= x265 -> x264 -> mpeg4).
 // An optional ":preset=<name>" suffix (e.g. "libx265:preset=superfast")
 // overrides the encoder speed preset (default "fast").
+// An optional ":params=k=v,k=v" suffix (must come last) passes extra
+// encoder private options: for libx265 they are appended to x265-params
+// (commas become the ':' separators x265 expects, e.g.
+// "libx265:preset=superfast:params=pools=1,frame-threads=2"); for other
+// encoders each k=v is set via av_opt_set on priv_data.
 // An explicitly requested codec that is unavailable FAILS (nullptr) instead
 // of silently substituting another encoder.
 void* vw_open2(const char* path, int w, int h, double fps,
@@ -209,6 +214,12 @@ void* vw_open2(const char* path, int w, int h, double fps,
   }
   std::string name = codec_name ? codec_name : "auto";
   std::string preset = "fast";
+  std::string extra;  // comma-separated k=v list from ":params="
+  const auto pcolon = name.find(":params=");
+  if (pcolon != std::string::npos) {
+    extra = name.substr(pcolon + 8);
+    name = name.substr(0, pcolon);
+  }
   const auto colon = name.find(":preset=");
   if (colon != std::string::npos) {
     preset = name.substr(colon + 8);
@@ -245,11 +256,34 @@ void* vw_open2(const char* path, int w, int h, double fps,
   } else if (enc->id == AV_CODEC_ID_HEVC) {
     av_opt_set(wr->codec->priv_data, "crf", "18", 0);
     av_opt_set(wr->codec->priv_data, "preset", preset.c_str(), 0);
-    av_opt_set(wr->codec->priv_data, "x265-params",
-               "log-level=error:bframes=0", 0);
+    std::string x265p = "log-level=error:bframes=0";
+    if (!extra.empty()) {
+      // x265-params separates options with ':'; the codec string uses
+      // ',' so it can nest inside our ':'-delimited suffix syntax
+      std::string conv = extra;
+      for (auto& c : conv)
+        if (c == ',') c = ':';
+      x265p += ":" + conv;
+    }
+    av_opt_set(wr->codec->priv_data, "x265-params", x265p.c_str(), 0);
     wr->codec->max_b_frames = 0;
   } else {
     wr->codec->bit_rate = (int64_t)w * h * 8;  // generous for mpeg4
+  }
+  if (enc->id != AV_CODEC_ID_HEVC && !extra.empty()) {
+    // apply each k=v from ":params=" to the encoder's private options
+    // (best-effort: unknown keys are ignored rather than failing open)
+    size_t start = 0;
+    while (start < extra.size()) {
+      size_t end = extra.find(',', start);
+      if (end == std::string::npos) end = extra.size();
+      std::string kv = extra.substr(start, end - start);
+      const auto eq = kv.find('=');
+      if (eq != std::string::npos)
+        av_opt_set(wr->codec->priv_data, kv.substr(0, eq).c_str(),
+                   kv.substr(eq + 1).c_str(), 0);
+      start = end + 1;
+    }
   }
   if (wr->fmt->oformat->flags & AVFMT_GLOBALHEADER)
     wr->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;

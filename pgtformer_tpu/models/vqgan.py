@@ -298,11 +298,16 @@ class VQGANDiscriminator(nn.Module):
     """PatchGAN discriminator (reference vqgan_arch.py:425-468).
 
     BatchNorm runs in batch-stats mode during training (train=True);
-    variables live in `batch_stats`.
+    variables live in `batch_stats`.  Under data parallelism the batch
+    moments sync across the `axis_name` mesh axis (the reference's
+    `syncbn: true` converts net_d to SyncBN — options/...stage_III...yml:6);
+    without the sync, per-shard statistics make the sharded GAN step
+    diverge from the single-device step.
     """
     nc: int = 3
     ndf: int = 64
     n_layers: int = 4
+    axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -319,6 +324,7 @@ class VQGANDiscriminator(nn.Module):
                         use_bias=False, dtype=self.dtype, name=f"main_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
                              momentum=0.9, dtype=self.dtype,
+                             axis_name=self.axis_name,
                              name=f"main_{i + 1}")(x)
             x = nn.leaky_relu(x, 0.2)
             i += 3
@@ -327,6 +333,7 @@ class VQGANDiscriminator(nn.Module):
                     use_bias=False, dtype=self.dtype, name=f"main_{i}")(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
                          momentum=0.9, dtype=self.dtype,
+                         axis_name=self.axis_name,
                          name=f"main_{i + 1}")(x)
         x = nn.leaky_relu(x, 0.2)
         i += 3

@@ -82,8 +82,8 @@ STAGE_HYPERS = {
                      total_iter=400000, use_gan=False, token_loss="ce",
                      feat_loss="mse", pixel_loss="none", perceptual="none"),
     "III": StageHyper(lr_g=2e-5, lr_d=2e-5, milestones=(200000,),
-                      total_iter=200000, token_loss="ce", feat_loss="l1",
-                      pixel_loss="l1", perceptual="lpips"),
+                      total_iter=200000, token_loss="ce", feat_loss="mse",
+                      pixel_loss="l1", perceptual="lpips", gan_weight=1.0),
     "IV": StageHyper(lr_g=2e-5, lr_d=2e-5, milestones=(200000,),
                      total_iter=200000, token_loss="focal", feat_loss="l1",
                      pixel_loss="gradl1", perceptual="temporal_lpips"),
@@ -183,7 +183,11 @@ class Stage1Trainer:
                                use_pallas=use_pallas)
         # n_layers=4 halves resolution 4x; inputs below ~64px need a
         # shallower PatchGAN or the logits map collapses to zero size
-        self.disc = disc or VQGANDiscriminator(dtype=dtype)
+        # clone(axis_name=...): SyncBN across the data axis (reference
+        # `syncbn: true` converts net_d too) — without it per-shard batch
+        # stats make the sharded GAN step diverge from single-device
+        self.disc = (disc or VQGANDiscriminator(dtype=dtype)).clone(
+            axis_name=self.axis)
         self.lpips_fn = lpips_fn
         self.hinge = L.HingeGANLoss("hinge", hp.gan_weight)
         sched = multistep_with_warmup(hp.lr_g, hp.milestones, hp.gamma,
@@ -374,7 +378,9 @@ class PGTFormerTrainer:
         self.model = PGTFormer(cfg, axis_name=self.axis, dtype=dtype,
                                use_pallas=use_pallas)
         self.teacher = TDCRQVAE3(cfg.vqvae, dtype=dtype)
-        self.disc = disc or VQGANDiscriminator(dtype=dtype)
+        # SyncBN across the data axis (see Stage1Trainer)
+        self.disc = (disc or VQGANDiscriminator(dtype=dtype)).clone(
+            axis_name=self.axis)
         self.lpips_fn = lpips_fn
         self.hinge = L.HingeGANLoss("hinge", self.hp.gan_weight)
         self._step_fn = None

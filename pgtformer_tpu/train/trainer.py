@@ -43,6 +43,19 @@ class Trainer:
             if v is not None:
                 extra[col] = v
         self.ckpt.export_params_ema(step, state.g.ema_params, extra=extra)
+        # net_d_<iter> analog: the reference chains the discriminator
+        # through the stages (stage III loads stage I's net_d, stage IV
+        # loads stage III's — options/...stage_III...yml:143,
+        # ...stage_IIII...yml:142); without a carried, already-calibrated
+        # D a random-init D memorizes small sets, hinge-saturates (zero
+        # grads), and G runs away against the frozen D
+        d = getattr(state, "d", None)
+        if d is not None:
+            d_extra = {}
+            if getattr(d, "batch_stats", None) is not None:
+                d_extra["batch_stats"] = d.batch_stats
+            self.ckpt.export_params_ema(step, d.params, extra=d_extra,
+                                        prefix="net_d")
 
     def _append_jsonl(self, rec: dict):
         """Machine-readable training curve (exp_dir/metrics.jsonl)."""

@@ -30,8 +30,7 @@ def build_from_options(opt: dict, stage: str, data_root: str,
 
     tr = opt.get("train", {})
     base = STAGE_HYPERS[stage]
-    hp = StageHyper(**{
-        **base.__dict__,
+    over = {
         "lr_g": float(tr.get("optim_g", {}).get("lr", base.lr_g)),
         "lr_d": float(tr.get("optim_d", {}).get("lr", base.lr_d)),
         "milestones": tuple(int(m) for m in
@@ -44,7 +43,38 @@ def build_from_options(opt: dict, stage: str, data_root: str,
         "gan_start_iter": int(tr.get("gan_start_iter", base.gan_start_iter)),
         "gan_weight": float(tr.get("gan_opt", {}).get("loss_weight",
                                                       base.gan_weight)),
-    })
+    }
+    # the YAML loss blocks drive the loss recipe directly (reference
+    # build_loss from each *_opt subtree; per-stage blocks differ —
+    # e.g. feat is MSELoss in stages II/III but L1Loss in IV)
+    _loss_types = {"CrossEntropyLoss": "ce", "FocalLoss": "focal",
+                   "MSELoss": "mse", "L1Loss": "l1",
+                   "GRADL1Loss": "gradl1", "LPIPSLoss": "lpips",
+                   "TemporalLPIPSLoss": "temporal_lpips"}
+
+    def _loss(key, kind_field, weight_field, absent_kind):
+        blk = tr.get(key)
+        if blk is None:
+            if key in ("pixel_opt", "perceptual_opt"):
+                over[kind_field] = absent_kind
+            return
+        over[kind_field] = _loss_types.get(str(blk.get("type")),
+                                           getattr(base, kind_field))
+        if weight_field and "loss_weight" in blk:
+            over[weight_field] = float(blk["loss_weight"])
+        if key == "pixel_opt" and "lossmulti" in blk:
+            over["lossmulti"] = tuple(float(x) for x in blk["lossmulti"])
+        if key == "perceptual_opt" and "tgrad_weight" in blk:
+            over["tgrad_weight"] = float(blk["tgrad_weight"])
+
+    if stage != "I":
+        _loss("token_opt", "token_loss", "token_weight", "ce")
+        _loss("feat_opt", "feat_loss", "feat_weight", "mse")
+    _loss("pixel_opt", "pixel_loss", "pixel_weight", "none")
+    _loss("perceptual_opt", "perceptual", None, "none")
+    if "gan_opt" in tr or "use_gan" in tr:
+        over["use_gan"] = bool(tr.get("use_gan", tr.get("gan_opt")))
+    hp = StageHyper(**{**base.__dict__, **over})
 
     dtype = dtype if dtype is not None else jnp.float32
     if stage == "I":
@@ -80,6 +110,14 @@ def main(argv=None):
                              "(non-strict subtree merge — the reference's "
                              "`pretrain_network_g` + `strict_load_g: "
                              "false` chain: I->II->III->IV)")
+    parser.add_argument("--disc-ckpt", default=None,
+                        help="initialize the discriminator from a previous "
+                             "stage's net_d_* export (the reference's "
+                             "`pretrain_network_d` + `strict_load_d: true`: "
+                             "stage III loads stage I's net_d, stage IV "
+                             "loads stage III's — a carried, calibrated D; "
+                             "a random-init D memorizes small sets, hinge-"
+                             "saturates, and G runs away against it)")
     parser.add_argument("--no-lpips", action="store_true")
     parser.add_argument("--lpips-weights", default=None,
                         help="lpips.LPIPS(net='vgg') state_dict (.pth) for "
@@ -256,7 +294,11 @@ def main(argv=None):
             sample_batch = jnp.asarray(
                 np.repeat(as_float(sample["lq"][None]), batch, axis=0))
             sv = None
-            if args.student_ckpt:
+            # skip the pretrained overlay when auto-resuming: build_state
+            # then runs under jax.eval_shape (abstract), where a real orbax
+            # restore would see tracers and crash — and the resumed
+            # TrainState overwrites these values anyway
+            if args.student_ckpt and not resuming:
                 # reference `pretrain_network_g` + `strict_load_g: false`:
                 # init the full student, then overlay every pretrained
                 # tensor whose path+shape matches (stage I's TDCRQVAE3
@@ -274,6 +316,25 @@ def main(argv=None):
                                       student_variables=sv)
 
     state = jax.eval_shape(build_state) if resuming else build_state()
+
+    if args.disc_ckpt and not resuming and getattr(state, "d", None) is not None:
+        # reference `pretrain_network_d` + `strict_load_d: true`
+        # (options/...stage_III...yml:143-145): overlay the carried
+        # discriminator; tree.map enforces the strict structure match
+        from pgtformer_tpu.utils.checkpoint import restore_export_host
+        pre_d = restore_export_host(args.disc_ckpt)
+        d_params = pre_d.get("params_ema") or pre_d.get("params")
+        new_d = state.d.replace(params=jax.tree.map(
+            lambda cur, new: np.asarray(new, cur.dtype),
+            state.d.params, d_params))
+        if (pre_d.get("batch_stats") is not None
+                and getattr(state.d, "batch_stats", None) is not None):
+            new_d = new_d.replace(batch_stats=jax.tree.map(
+                lambda cur, new: np.asarray(new, cur.dtype),
+                state.d.batch_stats, pre_d["batch_stats"]))
+        state = state.replace(d=new_d)
+        print(f"discriminator initialized from {args.disc_ckpt} "
+              "(strict_load_d)")
 
     val_fn = None
     if args.val_data_root:

@@ -69,12 +69,13 @@ class CheckpointManager:
         return restored, step
 
     def export_params_ema(self, step: int, ema_params: Any,
-                          extra: Optional[dict] = None):
+                          extra: Optional[dict] = None,
+                          prefix: str = "net_g"):
         """Inference checkpoint: EMA params (+ frozen collections)."""
         payload = {"params_ema": ema_params}
         if extra:
             payload.update(extra)
-        path = os.path.join(self.directory, f"net_g_{step}")
+        path = os.path.join(self.directory, f"{prefix}_{step}")
         self._ckpt.save(path, payload)
         self._ckpt.wait_until_finished()
         return path

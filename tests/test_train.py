@@ -132,7 +132,7 @@ def test_stage4_full_gan_step(teacher_and_student):
 
 
 def test_stage3_full_step(teacher_and_student):
-    """Stage III: end-to-end + GAN — CE token loss, feat L1, pixel L1,
+    """Stage III: end-to-end + GAN — CE token loss, feat MSE, pixel L1,
     LPIPS, hinge GAN (reference
     options/release_train_stage_III__need_align_version.yml:2,7,170-199)."""
     hp = StageHyper(**{**STAGE_HYPERS["III"].__dict__, "milestones": (100,)})
@@ -339,3 +339,75 @@ def test_trainer_fit_invokes_val_fn(tmp_path):
 
     loop.fit(state, batches(), total_iter=4, val_fn=val_fn)
     assert calls == [2, 4]
+
+
+def test_yaml_loss_blocks_drive_hypers():
+    """The YAML `train:` loss blocks map into StageHyper — the per-stage
+    recipes differ in exactly the fields the reference YAMLs set (feat is
+    MSELoss in II/III but L1Loss in IV; gan weight 1.0 in III, 0.75 in
+    IV; IV switches to FocalLoss/GRADL1Loss/TemporalLPIPSLoss —
+    options/release_train_stage_III__need_align_version.yml:182-199,
+    ..._IIII_dont_need_align_version.yml:176-205)."""
+    import os
+    from pgtformer_tpu.config import load_options
+    from pgtformer_tpu.train_cli import build_from_options
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    _, hp2 = build_from_options(
+        load_options(os.path.join(root, "train_stage_II.yml")), "II", "/tmp")
+    assert hp2.feat_loss == "mse" and hp2.pixel_loss == "none"
+    assert hp2.perceptual == "none" and not hp2.use_gan
+    assert hp2.token_loss == "ce" and hp2.token_weight == 0.5
+
+    _, hp3 = build_from_options(
+        load_options(os.path.join(root, "train_stage_III.yml")), "III", "/tmp")
+    assert hp3.feat_loss == "mse" and hp3.pixel_loss == "l1"
+    assert hp3.perceptual == "lpips" and hp3.use_gan
+    assert hp3.gan_weight == 1.0
+
+    _, hp4 = build_from_options(
+        load_options(os.path.join(root, "train_stage_IV.yml")), "IV", "/tmp")
+    assert hp4.feat_loss == "l1" and hp4.pixel_loss == "gradl1"
+    assert hp4.perceptual == "temporal_lpips" and hp4.use_gan
+    assert hp4.gan_weight == 0.75 and hp4.token_loss == "focal"
+    assert hp4.lossmulti == (0.2, 0.05, 0.05)
+
+
+def test_netd_export_and_disc_chain(tmp_path, teacher_and_student):
+    """net_d_<iter> export + `--disc-ckpt` overlay: the reference chains
+    the discriminator across stages (pretrain_network_d, strict_load_d:
+    true — options/...stage_III...yml:143-145) so later stages start from
+    a CALIBRATED D; a random-init D memorizes small sets, hinge-saturates
+    (zero grads) and the generator runs away against the frozen D
+    (measured: exp/r4_stage3_randD collapse to black)."""
+    from pgtformer_tpu.train.trainer import Trainer
+    from pgtformer_tpu.utils.checkpoint import restore_export_host
+
+    s1 = Stage1Trainer(SMALL_VQ, FAST_HP, disc=SMALL_DISC)
+    batch = _batch(np.random.default_rng(7))
+    state1 = s1.init_state(jax.random.PRNGKey(4), batch["gt"])
+    state1, _ = s1.make_step()(state1, batch["gt"])  # D moves off init
+
+    loop = Trainer(s1, str(tmp_path / "exp"), save_checkpoint_freq=1,
+                   use_tb_logger=False)
+    loop.ckpt.save(1, state1)
+    loop._export(1, state1)
+    assert (tmp_path / "exp" / "net_d_1").exists()
+
+    # strict overlay onto a stage-III trainer's fresh state (train_cli
+    # --disc-ckpt path)
+    hp = StageHyper(**{**STAGE_HYPERS["III"].__dict__, "milestones": (100,)})
+    s3 = PGTFormerTrainer(SMALL_PGT, stage="III", hp=hp, disc=SMALL_DISC)
+    state3 = s3.init_state(jax.random.PRNGKey(5), batch["lq"],
+                           teacher_and_student)
+    pre_d = restore_export_host(str(tmp_path / "exp" / "net_d_1"))
+    new_params = jax.tree.map(lambda cur, new: np.asarray(new, cur.dtype),
+                              state3.d.params, pre_d["params_ema"])
+    chained = state3.replace(d=state3.d.replace(params=new_params))
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(
+        a.astype(jnp.float32) - jnp.asarray(b, jnp.float32)).max()),
+        chained.d.params, state1.d.params)
+    assert max(jax.tree.leaves(diff)) == 0.0
+    # and the chained state still steps
+    _, metrics = s3.make_step()(chained, batch)
+    assert np.isfinite(float(metrics["l_d"]))
