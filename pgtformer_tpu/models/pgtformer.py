@@ -276,7 +276,17 @@ class FuseSftBlock(nn.Module):
             h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                         name=f"{name}_0")(feat)
             h = nn.leaky_relu(h, negative_slope=0.2)
+            # last conv ZERO-initialized: the block starts as the identity
+            # (out == dec_feat), so a w>0 forward with untrained fuse
+            # blocks equals the w=0 forward instead of an out-of-scale
+            # perturbation (measured [-34, +50] on [0,1] targets with
+            # fan-in init -> stage-III collapse-to-black within ~500
+            # iters, exp/r4_stage3_randD).  The reference author left the
+            # same fix commented out (`# last_zero_init(self.scale)`,
+            # pgtformer_arch.py:451-452); init distributions are not
+            # checkpoint-affecting, ported weights overwrite this.
             return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                           kernel_init=nn.initializers.zeros,
                            name=f"{name}_2")(h)
 
         scale = sft_head("scale")
