@@ -57,11 +57,14 @@ KNOBS: Dict[str, Knob] = {k.name: k for k in [
          "backend (bit-reproducible across TPU/CPU; slower on TPU). "
          "Default '0' uses the fused Pallas lookup on TPU, which can "
          "break near-ties differently (>99.9% agreement, tested)"),
-    Knob("SW_PAIR", "1", ("0", "1"),
+    Knob("SW_PAIR", "0", ("0", "1"),
          "Fuse each [no-shift, shift] SW block pair into ONE Pallas "
          "kernel (block-0 carried in VMEM scratch across grid steps; "
-         "halves the stripe HBM traffic). '0' runs one kernel per block. "
-         "Bit-identical outputs; perf only"),
+         "halves the stripe HBM traffic). Bit-identical outputs; LOSES "
+         "~10% in-context (tools/exp_pair_ab.py interleaved A/B: 249 vs "
+         "226 ms/step — the carried stripe's VMEM shrinks the working "
+         "stripes and serializes what the two-kernel chain pipelines), "
+         "so default '0' = one kernel per block"),
     Knob("SW_KERNEL", "5d", ("5d", "tokens"),
          "Shifted-window attention kernel: '5d' streams windows straight "
          "from the [B,T,H,W,C] layout (default), 'tokens' runs the "
@@ -120,7 +123,8 @@ def add_cli_flags(parser) -> None:
         g.add_argument(_flag(knob.name), dest=f"knob_{knob.name}",
                        default=None, choices=knob.choices,
                        metavar=None if knob.choices else "VALUE",
-                       help=knob.help + f" [env: PGT_{knob.name}]")
+                       help=knob.help.replace("%", "%%")
+                       + f" [env: PGT_{knob.name}]")
 
 
 def apply_cli_args(args) -> None:

@@ -85,13 +85,74 @@ def mha_pallas(q, k, v):
     return dense_mha(q, k, v, scale=SCALE, block_q=1024)
 
 
+def _mha_kernel_i8(sq_ref, sk_ref, sv_ref, q_ref, k_ref, v_ref, o_ref, *,
+                   scale: float):
+    """int8 QK^T + int8 PV inside the VMEM-resident dense-MHA kernel.
+
+    q/k/v refs are pre-quantized int8 [1, BQ|N, D]; per-tensor scales ride
+    in SMEM.  Softmax stays fp32; probs are re-quantized with the fixed
+    [0,1] range (scale 1/127) — the same VPU pass the bf16 kernel already
+    pays for the `e.astype(bf16)` cast."""
+    import jax.experimental.pallas as pl  # noqa: F401 (kept local)
+    q = q_ref[0]                                       # int8 [BQ, D]
+    k = k_ref[0]                                       # int8 [N, D]
+    s32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * (sq_ref[0] * sk_ref[0] * scale)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    pi = jnp.round(e * 127.0).astype(jnp.int8)
+    o32 = jax.lax.dot_general(pi, v_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    o = o32.astype(jnp.float32) * (sv_ref[0] / 127.0) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def mha_pallas_int8(q, k, v, block_q=1024):
+    """Pallas dense MHA with both dots on the int8 MXU path: k/v quantized
+    once per call (per-tensor), q quantized per call, scores/softmax fp32
+    in VMEM, probs int8.  This is the variant that keeps the bf16 kernel's
+    no-HBM-scores property (the XLA int8 paths above give it up)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bq, Hq, Nq, Dq = q.shape
+    qi, sq = quant_i8(q)
+    ki, sk = quant_i8(k)
+    vi, sv = quant_i8(v)
+    fold = lambda a: a.reshape(Bq * Hq, Nq, Dq)
+    grid = (Bq * Hq, Nq // block_q)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel_i8, scale=SCALE),
+        grid=grid,
+        in_specs=[
+            smem, smem, smem,
+            pl.BlockSpec((1, block_q, Dq), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nq, Dq), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nq, Dq), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dq), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bq * Hq, Nq, Dq), jnp.bfloat16),
+    )(sq.reshape(1), sk.reshape(1), sv.reshape(1), fold(qi), fold(ki),
+      fold(vi))
+    return out.reshape(Bq, Hq, Nq, Dq)
+
+
 def time_fn(fn, q, k, v, iters=ITERS):
     @jax.jit
     def loop(q, k, v):
         def body(_, carry):
-            # full data dependency (exp_int8.py pattern): the output IS
-            # the next query, so XLA cannot hoist or slice through fn
-            return fn(carry, k, v).astype(carry.dtype)
+            # full data dependency (exp_int8.py pattern): the output is
+            # q AND k AND v of the next call — self-attention's real data
+            # flow — so XLA can neither hoist the k/v quantization out of
+            # the loop nor slice through fn
+            return fn(carry, carry, carry).astype(carry.dtype)
         return jax.lax.fori_loop(0, iters, body, q)
 
     out = loop(q, k, v)
@@ -114,7 +175,8 @@ def main():
     for name, fn in [("xla_bf16", mha_bf16_xla),
                      ("pallas_bf16", mha_pallas),
                      ("int8_qk", mha_int8_qk),
-                     ("int8_qk_pv", mha_int8_qkpv)]:
+                     ("int8_qk_pv", mha_int8_qkpv),
+                     ("pallas_int8", mha_pallas_int8)]:
         try:
             dt, out = time_fn(fn, q, k, v)
         except Exception as e:
@@ -134,6 +196,9 @@ def main():
     if "pallas_bf16" in rows and "int8_qk_pv" in rows:
         print(f"speedup int8_qk_pv vs pallas_bf16: "
               f"{rows['pallas_bf16'] / rows['int8_qk_pv']:.2f}x")
+    if "pallas_bf16" in rows and "pallas_int8" in rows:
+        print(f"speedup pallas_int8 vs pallas_bf16: "
+              f"{rows['pallas_bf16'] / rows['pallas_int8']:.2f}x")
 
 
 if __name__ == "__main__":
