@@ -178,7 +178,6 @@ class FuseSftBlock(nn.Module):
     @nn.compact
     def __call__(self, enc_feat: jnp.ndarray, dec_feat: jnp.ndarray,
                  w: float = 1.0, middle_only: bool = False) -> jnp.ndarray:
-        import os
         B, T, H, W, C = enc_feat.shape
         enc = enc_feat.reshape(B * T, H, W, C)
         dec = dec_feat.reshape(B * T, H, W, C)

@@ -77,8 +77,10 @@ def test_video_restorer_multichip_matches_single(small_video, tmp_path):
 
     fa, fb = read_all(out_a), read_all(out_b)
     assert fa.shape == fb.shape
-    # lossy codec in the way: compare loosely but element-aligned
-    assert np.mean(np.abs(fa.astype(int) - fb.astype(int))) < 2.0
+    # pre-encode exactness is proven by test_sharded_step_halo_exchange_exact;
+    # identical frames through the same deterministic encoder must decode
+    # identically, so the e2e file-to-file mesh path is held to exact equality.
+    np.testing.assert_array_equal(fa, fb)
 
 
 @pytest.mark.parametrize("n_dev", [2, 4, 8])

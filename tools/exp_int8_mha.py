@@ -102,7 +102,9 @@ def _mha_kernel_i8(sq_ref, sk_ref, sv_ref, q_ref, k_ref, v_ref, o_ref, *,
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    pi = jnp.round(e * 127.0).astype(jnp.int8)
+    # clip like mha_int8_qkpv: max-subtraction bounds e<=1 today, but a
+    # NaN/inf score or a reordered normalization must not overflow int8
+    pi = jnp.clip(jnp.round(e * 127.0), 0, 127).astype(jnp.int8)
     o32 = jax.lax.dot_general(pi, v_ref[0], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     o = o32.astype(jnp.float32) * (sv_ref[0] / 127.0) / denom
@@ -118,6 +120,7 @@ def mha_pallas_int8(q, k, v, block_q=1024):
     from jax.experimental.pallas import tpu as pltpu
 
     Bq, Hq, Nq, Dq = q.shape
+    assert Nq % block_q == 0, f"N={Nq} must be a multiple of block_q={block_q}"
     qi, sq = quant_i8(q)
     ki, sk = quant_i8(k)
     vi, sv = quant_i8(v)

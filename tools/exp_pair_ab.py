@@ -44,7 +44,11 @@ def build(pair: str, variables, cfg, chunk):
     return r, tail0, chunk_dev
 
 
-def window(r, tail0, chunk_dev):
+def window(r, tail0, chunk_dev, pair):
+    # Re-assert this arm's knob before timing: _step captures SW_PAIR at
+    # trace time, so a retrace inside the window (new shape/dtype, cache
+    # eviction) must re-read the intended value, not the other arm's.
+    knobs.set_knob("SW_PAIR", pair)
     tail = tail0
     t0 = time.perf_counter()
     for _ in range(ITERS):
@@ -77,8 +81,14 @@ def main():
 
     ta, tb = [], []
     for i in range(ROUNDS):
-        ta.append(window(*a))
-        tb.append(window(*b))
+        # Alternate arm order per round so monotonic within-round drift
+        # (clock ramp, thermal) cancels instead of biasing one arm.
+        if i % 2 == 0:
+            ta.append(window(*a, "1"))
+            tb.append(window(*b, "0"))
+        else:
+            tb.append(window(*b, "0"))
+            ta.append(window(*a, "1"))
         print(f"round {i}: pair={ta[-1]*1e3:7.1f} ms  "
               f"nopair={tb[-1]*1e3:7.1f} ms", flush=True)
 
