@@ -68,7 +68,7 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
                  drop_last: bool = True, backend: str = "thread",
-                 keys=("gt", "lq", "llq")):
+                 keys=("gt", "lq", "llq"), reseed_dataset: bool = False):
         assert backend in ("thread", "process", "sync")
         self.dataset = dataset
         self.batch_size = batch_size
@@ -80,6 +80,17 @@ class PrefetchLoader:
         self.backend = backend
         self.keys = tuple(keys)
         self.epoch = 0
+        # reseed_dataset: advance the dataset's own sample seed each epoch
+        # so per-index randomness (degradation draws, hflip) is FRESH every
+        # pass — the reference's torch datasets consume global numpy state
+        # and therefore redraw degradations each epoch; our deterministic
+        # (seed, index) rng would otherwise freeze them, which makes small
+        # sets far more memorizable for the discriminator than the
+        # reference's behavior.  Safe to mutate at __iter__ time: epochs
+        # run sequentially and each epoch's workers join before the next
+        # __iter__ (see _iter_thread's finally).
+        self.reseed_dataset = reseed_dataset and hasattr(dataset, "seed")
+        self._dataset_seed0 = getattr(dataset, "seed", 0)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -89,6 +100,8 @@ class PrefetchLoader:
         batches = _batch_orders(len(self.dataset), self.batch_size,
                                 self.shuffle, self.seed + self.epoch,
                                 self.drop_last)
+        if self.reseed_dataset:
+            self.dataset.seed = self._dataset_seed0 + 100003 * self.epoch
         self.epoch += 1
         if not batches:
             return iter(())

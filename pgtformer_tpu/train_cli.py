@@ -212,7 +212,8 @@ def main(argv=None):
         seed=int(opt.get("manual_seed", 0)),
         num_workers=num_workers, prefetch=args.prefetch,
         backend="sync" if num_workers == 0 else "thread",
-        keys=("gt",) if stage == "I" else ("gt", "lq"))
+        keys=("gt",) if stage == "I" else ("gt", "lq"),
+        reseed_dataset=True)
 
     def host_batches():
         for b in loader:

@@ -286,3 +286,31 @@ def test_blind_degrade_second_order_and_sinc():
     assert a.shape == frames.shape
     assert 0.0 <= a.min() and a.max() <= 1.0
     assert np.abs(a - frames).mean() > 1e-3
+
+
+def test_loader_reseed_dataset_redraws_degradations(vfhq_root):
+    """reseed_dataset=True must redraw per-index randomness (degradation,
+    hflip) each epoch — matching the reference's global-RNG torch datasets
+    — while gt content (modulo hflip) and determinism-within-epoch hold."""
+    from pgtformer_tpu.data.loader import PrefetchLoader
+
+    ds = VFHQTrainDataset(vfhq_root, r=1, degradation="blr", seed=5,
+                          use_hflip=False)
+    ld = PrefetchLoader(ds, 1, shuffle=False, num_workers=0, backend="sync",
+                        reseed_dataset=True, keys=("gt", "lq"))
+    e0 = next(iter(ld))
+    e1 = next(iter(ld))
+    # same frame window, same gt; fresh degradation draw on lq
+    np.testing.assert_array_equal(e0["gt"], e1["gt"])
+    assert np.abs(e0["lq"] - e1["lq"]).mean() > 1e-5
+
+    ds2 = VFHQTrainDataset(vfhq_root, r=1, degradation="blr", seed=5,
+                           use_hflip=False)
+    ld2 = PrefetchLoader(ds2, 1, shuffle=False, num_workers=0,
+                         backend="sync", reseed_dataset=False,
+                         keys=("gt", "lq"))
+    f0 = next(iter(ld2))
+    f1 = next(iter(ld2))
+    # default behavior unchanged: frozen per-index draws across epochs
+    np.testing.assert_array_equal(f0["lq"], f1["lq"])
+    np.testing.assert_array_equal(f0["lq"], e0["lq"])
