@@ -119,6 +119,25 @@ def test_native_writer_explicit_codec_no_silent_substitute(native_lib,
                           codec="libnotacodec")
 
 
+def test_native_writer_params_suffix(native_lib, tmp_path):
+    """':params=k=v,k=v' suffix (what `cli.py --codec-params` composes)
+    reaches the encoder's private options and still produces a decodable
+    file — the BASELINE.md x265-scaling recommendation path."""
+    path = str(tmp_path / "outpp.mp4")
+    try:
+        w = NativeVideoWriter(
+            path, 25.0, (64, 64),
+            codec="libx265:preset=ultrafast:params=pools=1,frame-threads=1")
+    except IOError:
+        pytest.skip("libx265 unavailable in this libav build")
+    for _ in range(3):
+        w.write(np.zeros((64, 64, 3), np.uint8))
+    w.close()
+    r = NativeVideoReader(path)
+    assert len(list(r)) == 3
+    r.close()
+
+
 def test_native_writer_preset_suffix(native_lib, tmp_path):
     """':preset=<name>' suffix is accepted and produces a decodable file."""
     path = str(tmp_path / "outp.mp4")
