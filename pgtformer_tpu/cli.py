@@ -71,6 +71,11 @@ def main(argv=None):
                              "for bitrate at the same CRF 18. On 1-core "
                              "hosts the x265 encode thread is the e2e "
                              "bottleneck - 'superfast' is a good choice")
+    parser.add_argument("--codec-params", type=str, default=None,
+                        help="comma-separated k=v private encoder options "
+                             "(e.g. 'pools=1,frame-threads=4'); x265 "
+                             "ultrafast + frame-threads=4 sustains >40 fps "
+                             "on one core (BASELINE.md x265 scaling table)")
     parser.add_argument("--readback", type=str, default="auto",
                         choices=("auto", "rgb", "yuv420"),
                         help="device->host transfer format: yuv420 converts "
@@ -147,6 +152,8 @@ def main(argv=None):
     codec = args.codec
     if args.encoder_preset and codec != "mpeg4":
         codec = f"{codec}:preset={args.encoder_preset}"
+    if args.codec_params and codec != "mpeg4":
+        codec = f"{codec}:params={args.codec_params}"
     stats = restorer.restore_video(args.input_video, args.output_video,
                                    progress=True, frame_callback=frame_cb,
                                    codec=codec)

@@ -19,6 +19,40 @@ import sys
 import numpy as np
 
 
+def detect_stage(opt: dict, options_path: str) -> str:
+    """Resolve the training stage (I/II/III/IV).
+
+    Precedence: an explicit `stage:` key in the options -> the filename's
+    `stage_<I+>` run length (longest match, so the reference's
+    `..._stage_IIII_dont_need_align_version.yml` resolves to IV, not III)
+    -> the `model_type`/`code_only` convention (TRQVAEModel = I,
+    TRQCodeFormerModel + code_only = II — SURVEY.md §3.2-3.4).  Raises
+    rather than guessing: silently training the wrong stage recipe is
+    worse than asking for --stage.
+    """
+    import re
+    s = str(opt.get("stage", "")).upper()
+    roman = {"I": "I", "II": "II", "III": "III", "IV": "IV", "IIII": "IV",
+             "1": "I", "2": "II", "3": "III", "4": "IV"}
+    if s:
+        if s not in roman:
+            raise SystemExit(f"options key stage: {s!r} is not a stage "
+                             "(expected I/II/III/IV)")
+        return roman[s]
+    m = re.search(r"stage_(IV|I+)(?![IV])", options_path)
+    if m and m.group(1) in roman:
+        return roman[m.group(1)]
+    mt = str(opt.get("model_type", ""))
+    if mt == "TRQVAEModel":
+        return "I"
+    if mt == "TRQCodeFormerModel" and opt.get("code_only"):
+        return "II"
+    raise SystemExit(
+        f"cannot infer training stage from {options_path!r} (no `stage:` "
+        "key, no stage_<N> filename pattern, ambiguous model_type) — "
+        "pass --stage I/II/III/IV")
+
+
 def build_from_options(opt: dict, stage: str, data_root: str,
                        mesh=None, lpips_fn=None, dtype=None,
                        use_pallas: bool = False):
@@ -171,12 +205,7 @@ def main(argv=None):
     from pgtformer_tpu.models.vae import TDCRQVAE3
 
     opt = load_options(args.options)
-    stage = args.stage
-    if stage is None:
-        name = args.options
-        stage = ("I" if "stage_I_" in name or "stage_I." in name else
-                 "II" if "stage_II_" in name else
-                 "III" if "stage_III" in name else "IV")
+    stage = args.stage or detect_stage(opt, args.options)
     exp_dir = args.exp_dir or f"exp/{opt.get('name', 'run')}"
 
     n_dev = jax.device_count()

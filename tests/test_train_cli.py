@@ -86,3 +86,36 @@ def test_train_cli_stage1_smoke(tmp_path):
     assert rc == 0
     # checkpoints + logs land in exp dir
     assert os.path.isdir(tmp_path / "exp")
+
+
+def test_detect_stage():
+    """Stage resolution: `stage:` key first, then longest filename match.
+
+    Regressions pinned: `demo_stage_II.yml` must NOT fall through to IV
+    (the old `"stage_II_"` check needed a trailing underscore), and the
+    reference's `..._stage_IIII_...` must resolve to IV, not III
+    (substring collision)."""
+    from pgtformer_tpu.train_cli import detect_stage
+    import pytest as _pytest
+
+    # the reference's own YAML names (options/*.yml)
+    assert detect_stage({}, "release_train_stage_I_need_align_version.yml") == "I"
+    assert detect_stage({}, "release_train_stage_II_need_align_version.yml") == "II"
+    assert detect_stage({}, "release_train_stage_III__need_align_version.yml") == "III"
+    assert detect_stage({}, "release_train_stage_IIII_dont_need_align_version.yml") == "IV"
+    # this repo's demo/train configs (dotted + Roman-IV names)
+    for n, want in [("demo_stage_I.yml", "I"), ("demo_stage_II.yml", "II"),
+                    ("demo_stage_III.yml", "III"), ("demo_stage_IV.yml", "IV")]:
+        assert detect_stage({}, f"configs/{n}") == want
+    # explicit key wins over the filename
+    assert detect_stage({"stage": "II"}, "whatever.yml") == "II"
+    assert detect_stage({"stage": 4}, "demo_stage_I.yml") == "IV"
+    # model_type convention (reference yml:2 names the BasicSR model class)
+    assert detect_stage({"model_type": "TRQVAEModel"}, "x.yml") == "I"
+    assert detect_stage({"model_type": "TRQCodeFormerModel",
+                         "code_only": True}, "x.yml") == "II"
+    # refuse to guess instead of training the wrong recipe
+    with _pytest.raises(SystemExit):
+        detect_stage({"model_type": "TRQCodeFormerModel"}, "x.yml")
+    with _pytest.raises(SystemExit):
+        detect_stage({"stage": "V"}, "x.yml")
