@@ -128,7 +128,6 @@ def main(argv=None):
                              inflight=args.inflight, readback=readback)
     cbs = []
     if args.dump_frames:
-        import os
         import cv2
         os.makedirs(args.dump_frames, exist_ok=True)
         cbs.append(lambda i, rgb: cv2.imwrite(

@@ -67,15 +67,18 @@ def _gaussian_window(size=7, sigma=7 / 6):
     return w / w.sum()
 
 
-def calculate_niqe(img: np.ndarray, pris_params_path: str,
-                   crop_border: int = 0) -> float:
-    """img: float [0,1] HWC RGB (converted to gray) or HW gray."""
-    import cv2
-    data = np.load(pris_params_path)
-    mu_pris = data["mu_pris_param"]
-    cov_pris = data["cov_pris_param"]
-    window = data.get("gaussian_window", _gaussian_window())
+def image_niqe_features(img: np.ndarray, crop_border: int = 0,
+                        window: np.ndarray | None = None) -> np.ndarray:
+    """Two-scale 36-dim NIQE block features for one image.
 
+    img: float [0,1] HWC RGB (converted to gray) or HW gray.  Returns
+    [num_blocks, 36]; independent of any pristine model, so the same
+    features serve scoring (`niqe_from_features`) and pristine-model
+    fitting (`fit_pris_params`).
+    """
+    import cv2
+    if window is None:
+        window = _gaussian_window()
     if img.ndim == 3:
         img = img @ np.array([65.481, 128.553, 24.966]) + 16.0
     else:
@@ -107,11 +110,40 @@ def calculate_niqe(img: np.ndarray, pris_params_path: str,
             img = cv2.resize(img / 255.0, (img.shape[1] // 2,
                                            img.shape[0] // 2),
                              interpolation=cv2.INTER_LINEAR) * 255.0
-    feats = np.concatenate(feats, axis=1)
+    return np.concatenate(feats, axis=1)
 
+
+def niqe_from_features(feats: np.ndarray, mu_pris: np.ndarray,
+                       cov_pris: np.ndarray) -> float:
+    """Mahalanobis distance of one image's block features to a pristine
+    MVG model (the NIQE score)."""
     mu_dist = np.nanmean(feats, axis=0)
     dist_no_nan = feats[~np.isnan(feats).any(axis=1)]
     cov_dist = np.cov(dist_no_nan, rowvar=False)
     pinv = np.linalg.pinv((cov_pris + cov_dist) / 2)
     d = mu_pris - mu_dist
     return float(np.sqrt(d @ pinv @ d))
+
+
+def fit_pris_params(feats_list):
+    """Fit the pristine MVG (mu, cov) from per-image feature arrays.
+
+    This is how the published model was built (an MVG over block features
+    of a pristine-image corpus) — but fitting from a different corpus
+    (e.g. an eval set's GT frames) yields scores NOT comparable to the
+    published `niqe_pris_params.npz` model; label such scores clearly.
+    """
+    rows = np.concatenate(list(feats_list), axis=0)
+    mu = np.nanmean(rows, axis=0)
+    cov = np.cov(rows[~np.isnan(rows).any(axis=1)], rowvar=False)
+    return mu, cov
+
+
+def calculate_niqe(img: np.ndarray, pris_params_path: str,
+                   crop_border: int = 0) -> float:
+    """img: float [0,1] HWC RGB (converted to gray) or HW gray."""
+    data = np.load(pris_params_path)
+    window = data.get("gaussian_window", _gaussian_window())
+    feats = image_niqe_features(img, crop_border, window)
+    return niqe_from_features(feats, data["mu_pris_param"],
+                              data["cov_pris_param"])

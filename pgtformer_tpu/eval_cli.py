@@ -4,6 +4,7 @@ options/...yml:148-175: PSNR/SSIM/LPIPS(/NIQE) over the test split).
     python -m pgtformer_tpu.eval_cli --data-root /data/vfhq \
         --weights pgtformer-base.pth [--rotate] [--inter-space 10] \
         [--save-dir exp/val_imgs] [--niqe-params niqe_pris_params.npz]
+        [--niqe-fit-gt] [--face-metrics]
 """
 
 from __future__ import annotations
@@ -29,6 +30,13 @@ def main(argv=None):
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--niqe-params", default=None)
+    parser.add_argument("--niqe-fit-gt", action="store_true",
+                        help="no-reference NIQE with the pristine MVG "
+                             "fitted from THIS eval set's GT frames "
+                             "(labeled 'niqe(gt-fit)'; exercises the full "
+                             "NIQE pipeline but is NOT comparable to "
+                             "scores under BasicSR's niqe_pris_params.npz "
+                             "— pass --niqe-params for those)")
     parser.add_argument("--lpips-weights", default=None,
                         help="lpips.LPIPS(net='vgg') state_dict for "
                              "metric-grade LPIPS (random VGG otherwise)")
@@ -78,9 +86,12 @@ def main(argv=None):
 
     lpips_metric = calculate_lpips_fn(weights_path=args.lpips_weights)
     niqe_fn = None
+    niqe_fit = None
     if args.niqe_params:
         from pgtformer_tpu.eval.niqe import calculate_niqe
         niqe_fn = lambda img: calculate_niqe(img, args.niqe_params)
+    elif args.niqe_fit_gt:
+        niqe_fit = {"out": [], "gt": []}
 
     face = None
     if args.face_metrics:
@@ -117,13 +128,13 @@ def main(argv=None):
                     variables, jnp.repeat(lq[i:i + 1], args.batch, 0))
                 out_i = np.asarray(rows_batch)[0]
                 _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn,
-                            args, T, face)
+                            args, T, face, niqe_fit)
                 n += 1
         else:
             outs = np.asarray(forward(variables, lq))
             for i, out_i in enumerate(outs):
                 _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn,
-                            args, T, face)
+                            args, T, face, niqe_fit)
                 n += 1
         if args.limit and n >= args.limit:
             break
@@ -131,6 +142,15 @@ def main(argv=None):
     if not rows:
         print("no samples evaluated", file=sys.stderr)
         return 1
+    if niqe_fit is not None and niqe_fit["gt"]:
+        # pristine MVG from the GT frames, then score every output —
+        # the same Mahalanobis machinery as the published model, with a
+        # corpus swap (see eval/niqe.py fit_pris_params docstring)
+        from pgtformer_tpu.eval.niqe import fit_pris_params, \
+            niqe_from_features
+        mu_p, cov_p = fit_pris_params(niqe_fit["gt"])
+        for row, feats in zip(rows, niqe_fit["out"]):
+            row["niqe(gt-fit)"] = niqe_from_features(feats, mu_p, cov_p)
     keys = rows[0].keys()
     print("samples:", len(rows))
     for k in keys:
@@ -155,7 +175,7 @@ def main(argv=None):
 
 
 def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T,
-                face=None):
+                face=None, niqe_fit=None):
     import cv2
     from pgtformer_tpu.eval.metrics import calculate_psnr, calculate_ssim
     gt = batch["gt"][i][T // 2]
@@ -166,6 +186,10 @@ def _accumulate(rows, out_i, batch, i, lpips_metric, niqe_fn, args, T,
            lpips_key: lpips_metric(out_i, gt)}
     if niqe_fn is not None:
         row["niqe"] = niqe_fn(out_i)
+    if niqe_fit is not None:
+        from pgtformer_tpu.eval.niqe import image_niqe_features
+        niqe_fit["out"].append(image_niqe_features(out_i))
+        niqe_fit["gt"].append(image_niqe_features(gt))
     if face is not None:
         from pgtformer_tpu.eval.landmarks import face_metrics_frame
         fm = face_metrics_frame(out_i, gt, face["detector"],

@@ -50,6 +50,38 @@ def test_niqe_with_synthetic_pristine_params(tmp_path):
     assert abs(sa - sb) > 1e-6  # input-dependent
 
 
+def test_niqe_gt_fit_pipeline(tmp_path):
+    """The --niqe-fit-gt path: fit the pristine MVG from 'GT' images via
+    the public feature API, score distorted vs clean — the clean image
+    must sit closer to the fitted model, and scoring an image through
+    `calculate_niqe` with the fitted params saved to .npz must agree with
+    `niqe_from_features` on the same features (refactor guard)."""
+    from pgtformer_tpu.eval.niqe import (
+        image_niqe_features, fit_pris_params, niqe_from_features,
+        calculate_niqe)
+
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0.2, 0.8, (192, 192, 3))
+    import cv2
+    gts = [np.clip(cv2.GaussianBlur(
+        base + rng.normal(scale=0.05, size=base.shape), (0, 0), 1.2),
+        0, 1) for _ in range(6)]
+    mu, cov = fit_pris_params([image_niqe_features(g) for g in gts])
+    cov = cov + np.eye(cov.shape[0]) * 1e-3
+
+    clean = gts[0]
+    noisy = np.clip(clean + rng.normal(scale=0.25, size=clean.shape), 0, 1)
+    s_clean = niqe_from_features(image_niqe_features(clean), mu, cov)
+    s_noisy = niqe_from_features(image_niqe_features(noisy), mu, cov)
+    assert np.isfinite(s_clean) and np.isfinite(s_noisy)
+    assert s_noisy > s_clean  # heavy noise reads as less natural
+
+    path = str(tmp_path / "fit.npz")
+    np.savez(path, mu_pris_param=mu, cov_pris_param=cov)
+    np.testing.assert_allclose(calculate_niqe(clean, path), s_clean,
+                               rtol=1e-10)
+
+
 def test_stage_timer_and_codebook_stats():
     t = StageTimer()
     with t.stage("x"):
