@@ -90,7 +90,7 @@ def main(argv=None):
     if args.niqe_params:
         from pgtformer_tpu.eval.niqe import calculate_niqe
         niqe_fn = lambda img: calculate_niqe(img, args.niqe_params)
-    elif args.niqe_fit_gt:
+    if args.niqe_fit_gt:   # independent of --niqe-params; both can emit
         niqe_fit = {"out": [], "gt": []}
 
     face = None

@@ -14,6 +14,7 @@ layout).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -39,7 +40,9 @@ def detect_stage(opt: dict, options_path: str) -> str:
             raise SystemExit(f"options key stage: {s!r} is not a stage "
                              "(expected I/II/III/IV)")
         return roman[s]
-    m = re.search(r"stage_(IV|I+)(?![IV])", options_path)
+    # match the FILENAME only — a stage-named directory component
+    # (exp/stage_II_sweeps/...) must not override it
+    m = re.search(r"stage_(IV|I+)(?![IV])", os.path.basename(options_path))
     if m and m.group(1) in roman:
         return roman[m.group(1)]
     mt = str(opt.get("model_type", ""))

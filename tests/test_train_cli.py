@@ -107,6 +107,12 @@ def test_detect_stage():
     for n, want in [("demo_stage_I.yml", "I"), ("demo_stage_II.yml", "II"),
                     ("demo_stage_III.yml", "III"), ("demo_stage_IV.yml", "IV")]:
         assert detect_stage({}, f"configs/{n}") == want
+    # only the FILENAME is sniffed — stage-named directories don't override
+    assert detect_stage(
+        {}, "exp/stage_II_sweeps/release_train_stage_I_need_align_version.yml"
+    ) == "I"
+    with _pytest.raises(SystemExit):
+        detect_stage({}, "/data/stage_IV/demo_no_hints.yml")
     # explicit key wins over the filename
     assert detect_stage({"stage": "II"}, "whatever.yml") == "II"
     assert detect_stage({"stage": 4}, "demo_stage_I.yml") == "IV"

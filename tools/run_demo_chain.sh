@@ -29,7 +29,10 @@ I3=${STAGE3_ITERS:-3000}
 I4=${STAGE4_ITERS:-2400}
 COMMON=(--bf16 --pallas --data-root "$DATA/train" --val-data-root "$DATA/val")
 
-[ -d "$DATA/train/GT" ] || python tools/make_demo_dataset.py --out "$DATA" --augment 9
+# guard on an AUGMENTED clip dir: a pre-existing unaugmented dataset at
+# $DATA would otherwise silently skip the --augment 9 rebuild and recreate
+# the round-4 D-memorization collapse (BASELINE.md round-4 caveat)
+[ -d "$DATA/train/GT/demo_000_a00" ] || python tools/make_demo_dataset.py --out "$DATA" --augment 9
 
 # ---- stage I ---------------------------------------------------------
 python -m pgtformer_tpu.train_cli -opt configs/demo_stage_I.yml \
